@@ -1,0 +1,87 @@
+"""MP2 decoder tests: header metadata, golden end-to-end hash, backend parity.
+
+Mirrors the reference test strategy (mpeg_test.go:135-201): the golden hash
+anchors bit-exactness of the whole parse+synthesis pipeline.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+import mpeg_tpu as mpeg
+from mpeg_tpu.utils import Fnv1a64
+
+# Accepted golden hashes, one per FMA-contraction regime
+# (mpeg_test.go:193-197).
+GOLDEN_AUDIO_HASHES = {
+    0xF1B76CDF8E6CDEA5,   # no FMA
+    0x50F3AB75F5FB0FB5,   # windowing FMA
+    0x245C591BB52C83B1,   # windowing + matrixing FMA
+}
+
+
+def new_audio(path, backend):
+    buf = mpeg.Buffer(open(path, "rb"))
+    buf.set_load_callback(buf.load_reader_callback)
+    return mpeg.Audio(buf, backend=backend)
+
+
+def test_audio_header(mp2_path):
+    audio = new_audio(mp2_path, "numpy")
+    assert audio.has_header()
+    assert audio.samplerate() == 44100
+    assert audio.get_channels() == 1
+
+    audio.rewind()
+    assert audio.decode() is not None
+
+
+def decode_all_interleaved(audio):
+    h = Fnv1a64()
+    frames = 0
+    while True:
+        s = audio.decode()
+        if s is None:
+            break
+        h.write(s.interleaved.astype("<f4").tobytes())
+        frames += 1
+    return h.sum64(), frames
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_audio_golden(mp2_path, backend):
+    audio = new_audio(mp2_path, backend)
+    digest, frames = decode_all_interleaved(audio)
+    assert frames > 0
+    assert digest in GOLDEN_AUDIO_HASHES, \
+        f"audio output hash {digest:#018x} (frames={frames})"
+
+
+def test_audio_backend_parity(mp2_path):
+    """numpy oracle and JAX path agree bitwise frame by frame."""
+    a_np = new_audio(mp2_path, "numpy")
+    a_jx = new_audio(mp2_path, "jax")
+    for _ in range(8):
+        s_np = a_np.decode()
+        s_jx = a_jx.decode()
+        assert (s_np is None) == (s_jx is None)
+        if s_np is None:
+            break
+        if not np.array_equal(s_np.interleaved, s_jx.interleaved):
+            diff = np.flatnonzero(s_np.interleaved != s_jx.interleaved)
+            raise AssertionError(
+                f"{diff.size} samples differ, first at {diff[0]}: "
+                f"{s_np.interleaved[diff[0]]} vs {s_jx.interleaved[diff[0]]}")
+
+
+def test_samples_formats(mp2_path):
+    audio = new_audio(mp2_path, "numpy")
+    s = audio.decode()
+    assert s is not None
+    assert len(s.bytes()) == len(s.interleaved) * 4
+    assert s.left.shape == (mpeg.SAMPLES_PER_FRAME,)
+    assert s.s16.dtype == np.int16
+
+    s.format = mpeg.AudioFormat.S16
+    assert len(s.bytes()) == len(s.interleaved) * 2
