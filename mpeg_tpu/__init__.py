@@ -25,8 +25,10 @@ from .demux import (
     PACKET_AUDIO_1, PACKET_AUDIO_2, PACKET_AUDIO_3, PACKET_AUDIO_4,
 )
 from .audio import Audio, AudioFormat, Samples, SAMPLES_PER_FRAME
+from .video import Video, Frame
 
 __all__ = [
+    "Video", "Frame",
     "Buffer", "BUFFER_SIZE",
     "Demux", "Packet", "InvalidHeaderError",
     "PACKET_INVALID_TS", "PACKET_PRIVATE", "PACKET_VIDEO_1",

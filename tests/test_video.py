@@ -1,0 +1,81 @@
+"""MPEG-1 video decoder tests: metadata, golden end-to-end hash, parity.
+
+Mirrors the reference strategy (mpeg_test.go:205-274): the video path is
+all-integer, so one golden hash anchors every backend.
+"""
+
+import numpy as np
+import pytest
+
+import mpeg_tpu as mpeg
+from mpeg_tpu.utils import Fnv1a64
+
+GOLDEN_VIDEO_HASH = 0xEA6D7FCB1340BA3F   # mpeg_test.go:227
+
+
+def new_video(path, backend):
+    buf = mpeg.Buffer(open(path, "rb"))
+    buf.set_load_callback(buf.load_reader_callback)
+    return mpeg.Video(buf, backend=backend)
+
+
+def test_video_header(mpeg1video_path):
+    video = new_video(mpeg1video_path, "numpy")
+    assert video.has_header()
+    assert video.get_width() == 160
+    assert video.get_height() == 120
+    assert video.framerate() == 30.0
+
+    frame = video.decode()
+    assert frame is not None
+    assert frame.width == 160
+    assert frame.y.size == 20480
+    assert frame.cb.size == frame.y.size // 4
+
+
+def decode_all_hash(video, max_frames=10**9):
+    h = Fnv1a64()
+    frames = 0
+    while frames < max_frames:
+        frame = video.decode()
+        if frame is None:
+            break
+        h.write(frame.y.tobytes())
+        h.write(frame.cb.tobytes())
+        h.write(frame.cr.tobytes())
+        frames += 1
+    return h.sum64(), frames
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_video_golden(mpeg1video_path, backend):
+    video = new_video(mpeg1video_path, backend)
+    digest, frames = decode_all_hash(video)
+    assert frames > 0
+    assert digest == GOLDEN_VIDEO_HASH, \
+        f"video output hash {digest:#018x} (frames={frames})"
+
+
+def test_video_backend_parity(mpeg1video_path):
+    """numpy oracle and JAX reconstruction agree bytewise per frame."""
+    v_np = new_video(mpeg1video_path, "numpy")
+    v_jx = new_video(mpeg1video_path, "jax")
+    for i in range(12):
+        f_np = v_np.decode()
+        f_jx = v_jx.decode()
+        assert (f_np is None) == (f_jx is None)
+        if f_np is None:
+            break
+        assert np.array_equal(f_np.y, f_jx.y), f"frame {i} luma differs"
+        assert np.array_equal(f_np.cb, f_jx.cb), f"frame {i} cb differs"
+        assert np.array_equal(f_np.cr, f_jx.cr), f"frame {i} cr differs"
+
+
+def test_rgba(mpeg1video_path):
+    video = new_video(mpeg1video_path, "numpy")
+    frame = video.decode()
+    rgba = frame.rgba()
+    assert rgba.shape == (120, 160, 4)
+    assert rgba.dtype == np.uint8
+    assert (rgba[..., 3] == 255).all()
+    assert frame.pixels().shape == (120 * 160, 4)
