@@ -26,8 +26,10 @@ from .demux import (
 )
 from .audio import Audio, AudioFormat, Samples, SAMPLES_PER_FRAME
 from .video import Video, Frame
+from .mpeg import MPEG, InvalidMpegError
 
 __all__ = [
+    "MPEG", "InvalidMpegError",
     "Video", "Frame",
     "Buffer", "BUFFER_SIZE",
     "Demux", "Packet", "InvalidHeaderError",

@@ -12,7 +12,21 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import math
+
 from .buffer import Buffer
+
+
+def _fdiv(a: float, b: float) -> float:
+    """IEEE float division (Go semantics): x/0 is +/-Inf or NaN, never a
+    raised exception — the seek estimator relies on it."""
+    if b != 0:
+        return a / b
+    if a > 0:
+        return math.inf
+    if a < 0:
+        return -math.inf
+    return math.nan
 
 # Packet types map directly to MPEG-PES start codes (demux.go:20-29).
 PACKET_INVALID_TS = -1.0
@@ -172,7 +186,7 @@ class Demux:
         span = self.last_pts.get(typ, PACKET_INVALID_TS) - start_pts
 
         file_size = self.buf.size()
-        byte_rate = file_size / span
+        byte_rate = _fdiv(file_size, span)
 
         cur_time = self.last_decoded_pts
         scan_span = 1.0
@@ -187,9 +201,11 @@ class Demux:
 
             cur_pos = self.buf.tell()
 
-            # Estimate byte offset and jump to it.
+            # Estimate byte offset and jump to it.  A non-finite estimate
+            # converts like Go's float->int (minInt64) and clamps to 0.
             offset = (seek_time - cur_time - scan_span) * byte_rate
-            seek_pos = min(max(cur_pos + int(offset), 0), file_size - 256)
+            off_i = int(offset) if math.isfinite(offset) else -(1 << 63)
+            seek_pos = min(max(cur_pos + off_i, 0), file_size - 256)
             self._buffer_seek(seek_pos)
 
             # Scan packets up to seek_time for the last intra-frame packet.
@@ -203,7 +219,7 @@ class Demux:
                 # the rate estimate for the next jump.
                 if packet.pts > seek_time or packet.pts < seek_time - scan_span:
                     found_packet_with_pts = True
-                    byte_rate = (seek_pos - cur_pos) / (packet.pts - cur_time)
+                    byte_rate = _fdiv(seek_pos - cur_pos, packet.pts - cur_time)
                     cur_time = packet.pts
                     break
 
@@ -232,7 +248,7 @@ class Demux:
                 seek_time = first_packet_time
             elif not found_packet_with_pts:
                 # Probably past the end; re-anchor the estimates.
-                byte_rate = (seek_pos - cur_pos) / (span - cur_time)
+                byte_rate = _fdiv(seek_pos - cur_pos, span - cur_time)
                 cur_time = span
 
         return None

@@ -1,0 +1,134 @@
+"""High-level MPEG API tests, mirroring mpeg_test.go:276-461."""
+
+import math
+
+import pytest
+
+import mpeg_tpu as mpeg
+
+
+def new_mpeg(path, backend="numpy"):
+    return mpeg.MPEG(open(path, "rb"), backend=backend)
+
+
+def test_mpeg(mpg_path):
+    m = new_mpeg(mpg_path)
+    assert m.probe(5000 * 1024)
+    assert m.has_headers()
+    assert m.num_audio_streams() == 1
+    assert m.num_video_streams() == 1
+    assert m.width() == 160
+    assert m.height() == 120
+    assert m.framerate() == 30.0
+
+    m.set_audio_stream(0)
+    m.set_audio_enabled(True)
+    assert m.audio_enabled
+    m.set_video_enabled(True)
+    assert m.video_enabled
+
+    assert m.samplerate() == 44100
+    assert m.channels() == 1
+
+    m.set_audio_lead_time(1.0)
+    assert m.audio_lead_time == 1.0
+
+    assert int(m.duration()) == 9
+
+    m.rewind()
+    m.set_loop(False)
+    assert not m.loop
+
+    m.set_audio_enabled(False)
+    m.set_video_enabled(True)
+    frame = m.decode_video()
+    assert frame is not None
+    assert frame.width == m.width()
+    assert frame.y.size == 20480
+    assert frame.cb.size == frame.y.size // 4
+
+    m.set_audio_enabled(True)
+    m.set_video_enabled(False)
+    samples = m.decode_audio()
+    assert samples is not None
+    assert len(samples.bytes()) == len(samples.interleaved) * 4
+
+    m.set_audio_enabled(True)
+    m.set_video_enabled(True)
+    assert m.seek(1.0, False)
+
+    frame = m.seek_frame(1.0, True)
+    assert frame is not None
+
+    # Seeking past the end clamps to the duration, returns the last frame.
+    frame = m.seek_frame(100.0, True)
+    assert frame is not None
+    assert frame.time >= m.duration() - 1.0
+
+    m.set_audio_callback(lambda mp, s: None)
+    m.set_video_callback(lambda mp, f: None)
+    m.decode(1.0)
+
+
+def test_invalid_source():
+    import io
+    with pytest.raises(mpeg.InvalidMpegError):
+        mpeg.MPEG(io.BytesIO(b"\x00" * 64))
+
+
+def test_seek_audio_time(mpg_path):
+    """Exact seek off a frame boundary keeps audio time in sync
+    (mpeg_test.go:402-438)."""
+    tolerance = 0.5
+    times = []
+    for ms in (1000, 2000, 3000, 3001, 4000, 5000):
+        m = new_mpeg(mpg_path)
+        m.set_audio_callback(lambda mp, s: None)
+        m.set_video_callback(lambda mp, f: None)
+        assert m.seek(ms / 1000.0, True), f"seek to {ms}ms failed"
+
+        stream_time = m.get_time()
+        audio_time = m.audio().get_time()
+        assert abs(audio_time - stream_time) <= tolerance, \
+            f"seek {ms}ms: audio {audio_time} vs stream {stream_time}"
+        times.append(audio_time)
+
+    # A 1ms change must not jump the audio time.
+    assert abs(times[3] - times[2]) <= tolerance
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_seek_video_callback_once(mpg_path, exact):
+    m = new_mpeg(mpg_path)
+    count = [0]
+    m.set_video_callback(lambda mp, f: count.__setitem__(0, count[0] + 1))
+    m.set_audio_callback(lambda mp, s: None)
+    assert m.seek(3.0, exact)
+    assert count[0] == 1
+
+
+def test_loop_and_done(mpg_path):
+    m = new_mpeg(mpg_path)
+    m.set_video_enabled(True)
+    m.set_audio_enabled(False)
+
+    # Without looping, decoding past the end sets has_ended.
+    n = 0
+    while m.decode_video() is not None:
+        n += 1
+        assert n < 1000
+    assert m.has_ended()
+    assert m.done
+
+    # With looping, the decoder rewinds instead of ending.
+    m2 = new_mpeg(mpg_path)
+    m2.set_video_enabled(True)
+    m2.set_audio_enabled(False)
+    m2.set_loop(True)
+    first_n = n
+    seen = 0
+    while seen < first_n + 5:
+        if m2.decode_video() is not None:
+            seen += 1
+        assert not m2.has_ended()
+    assert seen > first_n   # wrapped around
