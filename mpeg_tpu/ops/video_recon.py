@@ -91,21 +91,22 @@ class FrameGeometry:
         return cls(width, height, (width + 15) >> 4, (height + 15) >> 4)
 
 
-def make_geometry_maps(geom: FrameGeometry):
-    """Precompute static per-pixel index maps (host, once per sequence)."""
-    lw, lh = geom.luma_width, geom.luma_height
-    cw, ch = geom.chroma_width, geom.chroma_height
+def _plane_index_grids(h, mb_width, bw, shift, xp):
+    """Per-(pixel row, mb column) slice index grids, built IN-GRAPH.
 
-    ly, lx = np.mgrid[0:lh, 0:lw]
-    cy, cx = np.mgrid[0:ch, 0:cw]
-    return {
-        "luma_y": ly.astype(np.int32),
-        "luma_x": lx.astype(np.int32),
-        "luma_mb": ((ly >> 4) * geom.mb_width + (lx >> 4)).astype(np.int32),
-        "chroma_y": cy.astype(np.int32),
-        "chroma_x": cx.astype(np.int32),
-        "chroma_mb": ((cy >> 3) * geom.mb_width + (cx >> 3)).astype(np.int32),
-    }
+    Computing these from iota (rather than passing precomputed index
+    arrays) lets XLA:TPU see the structure and pick the sliced-gather
+    fast path — 0.02 ms vs 200+ ms for a 1080p luma plane on v5e.
+    """
+    if xp is np:
+        y, c = np.mgrid[0:h, 0:mb_width].astype(np.int32)
+    else:
+        y = xp.arange(h, dtype=xp.int32)[:, None] * \
+            xp.ones((1, mb_width), xp.int32)
+        c = xp.ones((h, 1), xp.int32) * \
+            xp.arange(mb_width, dtype=xp.int32)[None, :]
+    rowmb = (y >> shift) * mb_width + c
+    return rowmb, y, c * bw
 
 
 # --------------------------------------------------------------------------
@@ -202,30 +203,84 @@ def _trunc_div2(v):
     return (v + ((v >> 31) & 1)) >> 1
 
 
-def _mc_plane(src_flat, sel_px, hp_px, vp_px, oh_px, ov_px,
-              base, stride, y_px, x_px, cur_plane, xp):
-    """Motion-compensate one plane via 4-tap flat-buffer gathers.
+_EXT_COLS = 32   # extension columns appended to each row for edge taps
 
-    Rounding family (parity: the reference MC kernels, §2b of SURVEY):
+
+def _gather_windows(src2d, ys, xs, bw, xp):
+    """Gather [N, 2, bw+1] windows at 2-D (row, col) starts, clamped.
+
+    On TPU this specific shape — iota-derived starts, (2, bw+1) slices —
+    lowers to XLA's sliced-gather fast path: 0.02 ms vs 200+ ms for the
+    per-pixel formulation on a 1080p luma plane (measured on v5e).
+    """
+    if xp is np:
+        rows, cols = src2d.shape
+        ys = np.clip(ys, 0, rows - 2)
+        xs = np.clip(xs, 0, cols - (bw + 1))
+        return src2d[ys[:, None, None] + np.arange(2)[None, :, None],
+                     xs[:, None, None] + np.arange(bw + 1)[None, None, :]]
+    from jax import lax
+    starts = xp.stack([ys, xs], axis=-1)
+    return lax.gather(
+        src2d, starts,
+        lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0, 1)),
+        slice_sizes=(2, bw + 1),
+        mode=lax.GatherScatterMode.CLIP)
+
+
+def _mc_plane(src_flat, sel, hp, vp, oh, ov, sel_bwd,
+              base, stride, bw, plane_h, geom, cur_plane, xp):
+    """Motion-compensate one plane via one sliced window gather.
+
+    The stacked [fwd | bwd] flat buffer is viewed as rows of `stride`
+    bytes with 32 wrap-around extension columns (each row continues into
+    the next row's first bytes), replicating the reference's FLAT buffer
+    reads exactly — including right-edge half-pel taps that cross into
+    the next row (video_noasm.go:49-50).
+
+    Blend (parity: reference MC kernels, §2b of SURVEY):
       copy: a;  half-H: (a+b+1)>>1;  half-V: (a+c+1)>>1;
       bilinear: (a+b+c+d+2)>>2
-    expressed uniformly as (a + b*oh + c*ov + d*oh*ov + bias) >> (oh+ov).
+    uniformly: (a + b*oh + c*ov + d*oh*ov + bias) >> (oh+ov).
     """
-    idx = base + (y_px + vp_px) * stride + (x_px + hp_px)
-    size = src_flat.shape[-1]
-    idx0 = xp.clip(idx, 0, size - 1)
-    idx1 = xp.clip(idx + 1, 0, size - 1)
-    idx2 = xp.clip(idx + stride, 0, size - 1)
-    idx3 = xp.clip(idx + stride + 1, 0, size - 1)
+    rows2 = src_flat.shape[0] // stride
+    src2d = src_flat.reshape(rows2, stride)
+    ext = xp.concatenate(
+        [src2d[1:, :_EXT_COLS],
+         xp.zeros((1, _EXT_COLS), src2d.dtype)])
+    src_ext = xp.concatenate([src2d, ext], axis=1)
 
-    a = xp.take(src_flat, idx0).astype(xp.int32)
-    b = xp.take(src_flat, idx1).astype(xp.int32)
-    c = xp.take(src_flat, idx2).astype(xp.int32)
-    d = xp.take(src_flat, idx3).astype(xp.int32)
+    shift = 4 if bw == 16 else 3
+    rowmb, y_px, x0 = _plane_index_grids(
+        plane_h, geom.mb_width, bw, shift, xp)
 
-    shift = oh_px + ov_px
-    bias = (1 << shift) >> 1
-    pred = (a + b * oh_px + c * ov_px + d * (oh_px & ov_px) + bias) >> shift
+    off = xp.where(sel_bwd, src_flat.shape[0] // 2, 0).astype(xp.int32)
+
+    # Flat byte address of each slice start, then divmod back to (row, col):
+    # exact flat-buffer semantics for every case, including junk-stream
+    # reads that wrap into the previous row (xs stays in [0, stride), so
+    # the +1 taps land in the extension columns).
+    flat = (base + (y_px + vp[rowmb]) * stride + x0 + hp[rowmb] +
+            off[rowmb]).reshape(-1)
+    ys = flat // stride
+    xs = flat % stride
+
+    win = _gather_windows(src_ext, ys, xs, bw, xp).astype(xp.int32)
+    a = win[:, 0, :bw]
+    b = win[:, 0, 1:]
+    c = win[:, 1, :bw]
+    d = win[:, 1, 1:]
+
+    oh_s = oh[rowmb].reshape(-1, 1)
+    ov_s = ov[rowmb].reshape(-1, 1)
+    sh = oh_s + ov_s
+    bias = (1 << sh) >> 1
+    pred = (a + b * oh_s + c * ov_s + d * (oh_s & ov_s) + bias) >> sh
+    pred = pred.reshape(plane_h, geom.mb_width * bw)
+
+    sel_px = xp.repeat(sel[rowmb], bw, axis=1)
     return xp.where(sel_px > 0, pred, cur_plane.astype(xp.int32))
 
 
@@ -247,7 +302,7 @@ def _chroma_blocks_to_plane(vals, geom, xp):
 
 def reconstruct_picture(cur_flat, fwd_flat, bwd_flat,
                         coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v,
-                        geom: FrameGeometry, maps, xp):
+                        geom: FrameGeometry, xp):
     """Reconstruct one picture into a new flat frame buffer.
 
     cur/fwd/bwd_flat: uint8 [total_size] shared-layout frame buffers.
@@ -256,7 +311,6 @@ def reconstruct_picture(cur_flat, fwd_flat, bwd_flat,
     # Select source frame per MB at gather time: gather from the stacked
     # [fwd | bwd] buffer with the MB's selection folded into the index.
     src_stack = xp.concatenate([fwd_flat, bwd_flat])
-    total = geom.total_size
 
     # Per-MB motion terms.
     hp = mv_h >> 1
@@ -269,24 +323,14 @@ def reconstruct_picture(cur_flat, fwd_flat, bwd_flat,
     cvp = cm_v >> 1
     coh = cm_h & 1
     cov = cm_v & 1
-    # Offset into the stacked source: backward frame lives at +total.
-    src_off = xp.where(src_sel == 2, total, 0).astype(xp.int32)
-
-    def take_mb(arr, mb_map):
-        return xp.take(arr, mb_map)
-
-    lm = maps["luma_mb"]
-    cm = maps["chroma_mb"]
+    sel_bwd = src_sel == 2
 
     # --- Luma ---
     cur_y = cur_flat[:geom.luma_size].reshape(
         geom.luma_height, geom.luma_width)
     pred_y = _mc_plane(
-        src_stack,
-        take_mb(src_sel, lm), take_mb(hp, lm), take_mb(vp, lm),
-        take_mb(oh, lm), take_mb(ov, lm),
-        take_mb(src_off, lm), geom.luma_width,
-        maps["luma_y"], maps["luma_x"], cur_y, xp)
+        src_stack, src_sel, hp, vp, oh, ov, sel_bwd,
+        0, geom.luma_width, 16, geom.luma_height, geom, cur_y, xp)
 
     # --- Chroma (Cb, Cr) ---
     cb0 = geom.luma_size
@@ -296,17 +340,12 @@ def reconstruct_picture(cur_flat, fwd_flat, bwd_flat,
     cur_cr = cur_flat[cr0:cr0 + geom.chroma_size].reshape(
         geom.chroma_height, geom.chroma_width)
 
-    chroma_args = (
-        take_mb(src_sel, cm), take_mb(chp, cm), take_mb(cvp, cm),
-        take_mb(coh, cm), take_mb(cov, cm))
     pred_cb = _mc_plane(
-        src_stack, *chroma_args,
-        take_mb(src_off, cm) + cb0, geom.chroma_width,
-        maps["chroma_y"], maps["chroma_x"], cur_cb, xp)
+        src_stack, src_sel, chp, cvp, coh, cov, sel_bwd,
+        cb0, geom.chroma_width, 8, geom.chroma_height, geom, cur_cb, xp)
     pred_cr = _mc_plane(
-        src_stack, *chroma_args,
-        take_mb(src_off, cm) + cr0, geom.chroma_width,
-        maps["chroma_y"], maps["chroma_x"], cur_cr, xp)
+        src_stack, src_sel, chp, cvp, coh, cov, sel_bwd,
+        cr0, geom.chroma_width, 8, geom.chroma_height, geom, cur_cr, xp)
 
     # --- Residuals ---
     vals = idct_batch(coeffs, nblocks, xp)          # [mb, 6, 64]
@@ -350,13 +389,10 @@ def make_reconstruct_jax(geom: FrameGeometry):
     import jax
     import jax.numpy as jnp
 
-    maps_np = make_geometry_maps(geom)
-    maps = {k: jnp.asarray(v) for k, v in maps_np.items()}
-
     @jax.jit
     def recon(cur, fwd, bwd, coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v):
         return reconstruct_picture(
             cur, fwd, bwd, coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v,
-            geom, maps, jnp)
+            geom, jnp)
 
     return recon

@@ -1,0 +1,259 @@
+"""Batched video decode: a window of pictures in one device dispatch.
+
+The per-picture data dependency in MPEG-1 is a strict depth-2 chain
+(forward/backward reference frames, video.go:406-433).  That maps to a
+`lax.scan` whose carry is the (current, forward, backward) frame triple and
+whose per-step input is one parsed picture plan.  The scan compiles once
+per (geometry, window) and reconstructs `window` pictures per dispatch —
+amortizing dispatch latency and keeping the whole pipeline on-device.
+
+Frame rotation and display selection replicate the reference exactly:
+
+- reference picture (I/P): MC reads the old backward frame (the reference
+  aliases forward=backward before the slices); afterwards
+  backward=decoded, current=old forward; the DISPLAYED frame is the old
+  backward (1-frame delay, video.go:247-256);
+- B picture: MC reads both; displayed immediately.
+
+Independent streams stack on a leading axis via `jax.vmap`; shard that
+axis over a mesh with `shard_map` (see parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..ops.video_recon import FrameGeometry, reconstruct_picture
+from ..tables import (
+    PICTURE_TYPE_B, PICTURE_TYPE_INTRA, PICTURE_TYPE_PREDICTIVE,
+)
+from ..video import Frame, Video
+
+
+def stack_plans(plans, geom: FrameGeometry, window: int):
+    """Stack (plan, picture_type) pairs into scan inputs, padding with
+    no-op steps (a no-op leaves the carry untouched)."""
+    n = len(plans)
+    assert n <= window
+    mb = geom.mb_size
+    out = {
+        "coeffs": np.zeros((window, mb, 6, 64), np.int32),
+        "nblocks": np.zeros((window, mb, 6), np.int32),
+        "intra_blk": np.zeros((window, mb, 6), np.int32),
+        "src_sel": np.zeros((window, mb), np.int32),
+        "mv_h": np.zeros((window, mb), np.int32),
+        "mv_v": np.zeros((window, mb), np.int32),
+        "is_ref": np.zeros(window, np.int32),
+        "is_noop": np.ones(window, np.int32),
+    }
+    for i, (plan, ptype) in enumerate(plans):
+        out["coeffs"][i] = plan.coeffs
+        out["nblocks"][i] = plan.nblocks
+        out["intra_blk"][i] = plan.intra_blk
+        out["src_sel"][i] = plan.src_sel
+        out["mv_h"][i] = plan.mv_h
+        out["mv_v"][i] = plan.mv_v
+        out["is_ref"][i] = 1 if ptype in (PICTURE_TYPE_INTRA,
+                                          PICTURE_TYPE_PREDICTIVE) else 0
+        out["is_noop"][i] = 0
+    return out
+
+
+def pack_plans(plans, geom: FrameGeometry, window: int, k: int):
+    """Packed scan inputs: coefficients as sparse (index, value) pairs and
+    narrow dtypes for the flags/motion arrays.
+
+    The host->device transfer is the throughput bottleneck for large
+    frames (the dense coefficient tensor is 12.5 MB per 1080p picture,
+    ~97% zeros); packing cuts the bytes ~20x.  The device densifies with
+    one scatter-add per step.  `k` is the per-picture coefficient
+    capacity (pad index 0 adds value 0 — harmless).
+    """
+    n = len(plans)
+    assert n <= window
+    mb = geom.mb_size
+    out = {
+        "coeff_idx": np.zeros((window, k), np.int32),
+        "coeff_val": np.zeros((window, k), np.int32),
+        "nblocks": np.zeros((window, mb, 6), np.int8),
+        "intra_blk": np.zeros((window, mb, 6), np.int8),
+        "src_sel": np.zeros((window, mb), np.int8),
+        "mv_h": np.zeros((window, mb), np.int16),
+        "mv_v": np.zeros((window, mb), np.int16),
+        "is_ref": np.zeros(window, np.int32),
+        "is_noop": np.ones(window, np.int32),
+    }
+    for i, (plan, ptype) in enumerate(plans):
+        flat = plan.coeffs.reshape(-1)
+        idx = np.flatnonzero(flat)
+        if idx.size > k:
+            raise ValueError(f"coefficient capacity {k} < {idx.size}")
+        out["coeff_idx"][i, :idx.size] = idx
+        out["coeff_val"][i, :idx.size] = flat[idx]
+        out["nblocks"][i] = plan.nblocks
+        out["intra_blk"][i] = plan.intra_blk
+        out["src_sel"][i] = plan.src_sel
+        out["mv_h"][i] = plan.mv_h
+        out["mv_v"][i] = plan.mv_v
+        out["is_ref"][i] = 1 if ptype in (PICTURE_TYPE_INTRA,
+                                          PICTURE_TYPE_PREDICTIVE) else 0
+        out["is_noop"][i] = 0
+    return out
+
+
+def count_plan_coeffs(plans) -> int:
+    """Max nonzero coefficient count over a window of plans."""
+    return max((int(np.count_nonzero(p.coeffs)) for p, _ in plans),
+               default=0)
+
+
+def unpack_plan_jax(plan, geom: FrameGeometry):
+    """Densify one packed scan step's plan on device (scatter-add; the
+    zero-padding indices add value 0 at position 0 — harmless)."""
+    import jax.numpy as jnp
+    mb = geom.mb_size
+    coeffs = jnp.zeros(mb * 6 * 64, jnp.int32) \
+        .at[plan["coeff_idx"]].add(plan["coeff_val"]) \
+        .reshape(mb, 6, 64)
+    return (coeffs,
+            plan["nblocks"].astype(jnp.int32),
+            plan["intra_blk"].astype(jnp.int32),
+            plan["src_sel"].astype(jnp.int32),
+            plan["mv_h"].astype(jnp.int32),
+            plan["mv_v"].astype(jnp.int32))
+
+
+def make_scan_decoder(geom: FrameGeometry, packed: bool = False):
+    """Build the jitted scan: (carry, stacked plans) -> (carry, displays).
+
+    carry = (current, forward, backward) flat uint8 frame buffers.
+    displays[t] = the frame the reference's Decode() would return after
+    picture t (old backward for reference pictures, the decoded picture
+    for B pictures).  Validity of each display is tracked host-side.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def step(carry, plan):
+        cur, fwd, bwd = carry
+        is_ref = plan["is_ref"]
+        run = 1 - plan["is_noop"]
+
+        if packed:
+            coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v = \
+                unpack_plan_jax(plan, geom)
+        else:
+            coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v = (
+                plan["coeffs"], plan["nblocks"], plan["intra_blk"],
+                plan["src_sel"], plan["mv_h"], plan["mv_v"])
+
+        # Reference pictures alias forward=backward before the slices.
+        fwd_eff = jnp.where(is_ref > 0, bwd, fwd)
+        new = reconstruct_picture(
+            cur, fwd_eff, bwd, coeffs, nblocks, intra_blk,
+            src_sel, mv_h, mv_v, geom, jnp)
+        new = jnp.where(run > 0, new, cur)
+
+        disp = jnp.where(is_ref > 0, bwd, new)
+        ref = (is_ref > 0) & (run > 0)
+        cur2 = jnp.where(ref, fwd, new)
+        fwd2 = jnp.where(ref, bwd, fwd)
+        bwd2 = jnp.where(ref, new, bwd)
+        return (cur2, fwd2, bwd2), disp
+
+    @jax.jit
+    def scan_decode(carry, plans):
+        return jax.lax.scan(step, carry, plans)
+
+    return scan_decode
+
+
+class BatchVideoDecoder:
+    """Throughput-oriented video decoder: host parse feeding windowed
+    device dispatches.
+
+    Mirrors Video.decode()'s output sequence (including the 1-frame
+    reference delay and end-of-stream flush) but reconstructs `window`
+    pictures per device round trip.
+    """
+
+    def __init__(self, buf, window: int = 32, packed: bool = True):
+        self.video = Video(buf, backend="plan")
+        self.window = window
+        self.packed = packed
+        self._scan = None
+        self._carry = None
+        self._has_reference_frame = False
+        self._types: list[int] = []
+        # Packed coefficient capacity, bucketed to limit recompiles.
+        self._k = 4096
+
+    @property
+    def geom(self) -> FrameGeometry:
+        return self.video.geom
+
+    def _ensure_device_state(self):
+        import jax.numpy as jnp
+        if self._scan is None:
+            self._scan = make_scan_decoder(self.geom, packed=self.packed)
+            zero = jnp.zeros(self.geom.total_size, jnp.uint8)
+            self._carry = (zero, zero, zero)
+
+    def parse_window(self):
+        """Parse up to `window` picture plans from the stream."""
+        plans = []
+        while len(plans) < self.window:
+            item = self.video.parse_next_plan()
+            if item is None:
+                break
+            plans.append(item)
+        return plans
+
+    def decode_window(self) -> list[Optional[np.ndarray]]:
+        """Parse + reconstruct one window; returns the displayed frames
+        (flat uint8 device arrays; None entries are undisplayed)."""
+        if not self.video.has_header():
+            return []
+        self._ensure_device_state()
+
+        plans = self.parse_window()
+        if not plans:
+            # End of stream: flush the pending reference frame.
+            if self._has_reference_frame and self.video.buf.has_ended() \
+                    and self._types and self._types[-1] != PICTURE_TYPE_B:
+                self._has_reference_frame = False
+                return [self._carry[2]]   # backward
+            return []
+
+        if self.packed:
+            need = count_plan_coeffs(plans)
+            while self._k < need:
+                self._k *= 2   # grow the capacity bucket (recompile)
+            stacked = pack_plans(plans, self.geom, self.window, self._k)
+        else:
+            stacked = stack_plans(plans, self.geom, self.window)
+        self._carry, disps = self._scan(self._carry, stacked)
+
+        out = []
+        for i, (_plan, ptype) in enumerate(plans):
+            self._types.append(ptype)
+            if ptype == PICTURE_TYPE_B:
+                out.append(disps[i])
+            elif self._has_reference_frame:
+                out.append(disps[i])
+            else:
+                self._has_reference_frame = True
+        return out
+
+    def decode_all(self) -> list:
+        """Decode the whole stream; returns flat frame buffers in display
+        order."""
+        frames = []
+        while True:
+            got = self.decode_window()
+            if not got:
+                break
+            frames.extend(got)
+        return frames

@@ -24,8 +24,7 @@ import numpy as np
 from . import tables as T
 from .buffer import Buffer, CorruptStream
 from .ops.video_recon import (
-    FrameGeometry, make_geometry_maps, reconstruct_picture,
-    make_reconstruct_jax,
+    FrameGeometry, reconstruct_picture, make_reconstruct_jax,
 )
 from .ops import color
 
@@ -158,6 +157,9 @@ class Video:
         self.assume_no_b_frames = False
 
         self._plan: Optional[_PicturePlan] = None
+        # backend="plan": parse only; _reconstruct defers the picture plan
+        # into this list for the batched scan decoder (parallel/batch.py).
+        self._pending_plans: list = []
 
         # Persistent coefficient scratch, replicating the reference's
         # blockData field (video.go:101): it is only partially cleared
@@ -296,9 +298,7 @@ class Video:
             self.non_intra_quant_matrix = list(T.NON_INTRA_QUANT_MATRIX)
 
         self.geom = FrameGeometry.for_size(self.width, self.height)
-        if self.backend == "numpy":
-            self._maps = make_geometry_maps(self.geom)
-        else:
+        if self.backend not in ("numpy", "plan"):
             self._recon_jax = make_reconstruct_jax(self.geom)
 
         self.frame_current = self._new_frame()
@@ -310,7 +310,7 @@ class Video:
 
     def _new_frame(self) -> Frame:
         frame = Frame(self.geom)
-        if self.backend != "numpy":
+        if self.backend not in ("numpy", "plan"):
             import jax.numpy as jnp
             frame.flat = jnp.asarray(frame.flat)
         return frame
@@ -374,8 +374,34 @@ class Video:
             self.frame_backward = self.frame_current
             self.frame_current = frame_temp
 
+    def parse_next_plan(self):
+        """Parse the next picture WITHOUT reconstructing (backend="plan").
+
+        Returns (plan, picture_type) or None at end of data.  Used by the
+        batched scan decoder, which replays the plans through one fused
+        device dispatch per window.
+        """
+        if not self.has_header():
+            return None
+        while True:
+            if self.start_code != T.START_PICTURE:
+                self.start_code = self.buf.find_start_code(T.START_PICTURE)
+                if self.start_code == -1:
+                    return None
+            if self.buf.has_start_code(T.START_PICTURE) == -1 and \
+                    not self.buf.has_ended():
+                return None
+            self.buf.discard_read_bytes()
+            before = len(self._pending_plans)
+            self._decode_picture()
+            if len(self._pending_plans) > before:
+                return self._pending_plans.pop()
+
     def _reconstruct(self) -> None:
         plan = self._plan
+        if self.backend == "plan":
+            self._pending_plans.append((plan, self.picture_type))
+            return
         cur, fwd, bwd = self.frame_current, self.frame_forward, \
             self.frame_backward
         if self.backend == "numpy":
@@ -383,7 +409,7 @@ class Video:
                 cur.flat, fwd.flat, bwd.flat,
                 plan.coeffs, plan.nblocks, plan.intra_blk,
                 plan.src_sel, plan.mv_h, plan.mv_v,
-                self.geom, self._maps, np)
+                self.geom, np)
         else:
             import jax.numpy as jnp
             cur.flat = self._recon_jax(

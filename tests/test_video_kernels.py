@@ -42,16 +42,14 @@ def test_idct_dc_only():
 
 
 def mc_sweep_geometry():
-    geom = vr.FrameGeometry(width=64, height=64, mb_width=4, mb_height=4)
-    maps = vr.make_geometry_maps(geom)
-    return geom, maps
+    return vr.FrameGeometry(width=64, height=64, mb_width=4, mb_height=4)
 
 
 @pytest.mark.parametrize("sel", [1, 2])
 def test_mc_parity_sweep(sel):
     """Mirror of the reference runParitySweep (video_test.go:71-103):
     mb positions x motion vectors in [-3, 3], bytewise-exact."""
-    geom, maps = mc_sweep_geometry()
+    geom = mc_sweep_geometry()
     total = geom.total_size
 
     src = RNG.integers(0, 256, total, np.uint8).astype(np.uint8)
@@ -83,7 +81,7 @@ def test_mc_parity_sweep(sel):
 
                     got = vr.reconstruct_picture(
                         cur, fwd, bwd, coeffs, nblocks, intra,
-                        src_sel, mv_h, mv_v, geom, maps, np)
+                        src_sel, mv_h, mv_v, geom, np)
 
                     want = cur.copy()
                     copy_macroblock_scalar(
@@ -101,7 +99,7 @@ def test_mc_parity_sweep(sel):
 
 def test_residual_add_and_intra():
     """Coded blocks: intra overwrite vs non-intra add-to-prediction."""
-    geom, maps = mc_sweep_geometry()
+    geom = mc_sweep_geometry()
     cur = RNG.integers(0, 256, geom.total_size, np.uint8).astype(np.uint8)
     fwd = RNG.integers(0, 256, geom.total_size, np.uint8).astype(np.uint8)
     bwd = np.zeros(geom.total_size, np.uint8)
@@ -124,7 +122,7 @@ def test_residual_add_and_intra():
 
     got = vr.reconstruct_picture(
         cur, fwd, bwd, coeffs, nblocks, intra, src_sel, mvz, mvz,
-        geom, maps, np)
+        geom, np)
 
     y = got[:geom.luma_size].reshape(geom.luma_height, geom.luma_width)
     fy = fwd[:geom.luma_size].reshape(geom.luma_height, geom.luma_width)
