@@ -109,6 +109,96 @@ def count_plan_coeffs(plans) -> int:
                default=0)
 
 
+# --------------------------------------------------------------------------
+# Blob transport: one contiguous byte buffer per window
+# --------------------------------------------------------------------------
+#
+# Per-array device_put costs one tunnel/PCIe round trip each; with 9 plan
+# arrays per window that overhead dominates the pipeline.  The blob packs
+# every field of a window step into one uint8 row (fixed little-endian
+# layout), so a whole window is ONE transfer; the device unpacks with
+# free bitcast/slice ops.
+
+def blob_layout(geom: FrameGeometry, k: int):
+    """Field offsets (bytes) within one step row."""
+    mb = geom.mb_size
+    fields = [
+        ("coeff_idx", 4 * k), ("coeff_val", 4 * k),
+        ("mv_h", 2 * mb), ("mv_v", 2 * mb),
+        ("nblocks", 6 * mb), ("intra_blk", 6 * mb),
+        ("src_sel", mb), ("flags", 4),   # bit0 = is_ref, bit1 = is_noop
+    ]
+    offs = {}
+    pos = 0
+    for name, size in fields:
+        pos = (pos + 3) & ~3   # 4-byte align every field
+        offs[name] = (pos, size)
+        pos += size
+    return offs, (pos + 3) & ~3
+
+
+def pack_plans_blob(plans, geom: FrameGeometry, window: int, k: int):
+    """Pack a window of plans into a [window, step_bytes] uint8 blob."""
+    offs, step_bytes = blob_layout(geom, k)
+    blob = np.zeros((window, step_bytes), np.uint8)
+
+    def put(i, name, arr):
+        off, size = offs[name]
+        raw = arr.tobytes()
+        assert len(raw) <= size
+        blob[i, off:off + len(raw)] = np.frombuffer(raw, np.uint8)
+
+    for i, (plan, ptype) in enumerate(plans):
+        flat = plan.coeffs.reshape(-1)
+        idx = np.flatnonzero(flat)
+        if idx.size > k:
+            raise ValueError(f"coefficient capacity {k} < {idx.size}")
+        put(i, "coeff_idx", idx.astype(np.int32))
+        put(i, "coeff_val", flat[idx].astype(np.int32))
+        put(i, "mv_h", plan.mv_h.astype(np.int16))
+        put(i, "mv_v", plan.mv_v.astype(np.int16))
+        put(i, "nblocks", plan.nblocks.astype(np.int8))
+        put(i, "intra_blk", plan.intra_blk.astype(np.int8))
+        put(i, "src_sel", plan.src_sel.astype(np.int8))
+        is_ref = ptype in (PICTURE_TYPE_INTRA, PICTURE_TYPE_PREDICTIVE)
+        # bit0 = is_ref, bit1 = valid step (unset rows are no-op padding)
+        put(i, "flags", np.asarray([(1 if is_ref else 0) | 2], np.int32))
+    return blob
+
+
+def unpack_blob_jax(row, geom: FrameGeometry, k: int):
+    """Unpack one blob step row on device -> dense plan tensors."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    offs, _ = blob_layout(geom, k)
+    mb = geom.mb_size
+
+    def get(name, dtype, n):
+        off, _size = offs[name]
+        width = jnp.dtype(dtype).itemsize
+        raw = row[off:off + n * width]
+        if width == 1:
+            return lax.bitcast_convert_type(raw, dtype)
+        return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
+
+    coeff_idx = get("coeff_idx", jnp.int32, k)
+    coeff_val = get("coeff_val", jnp.int32, k)
+    coeffs = jnp.zeros(mb * 6 * 64, jnp.int32) \
+        .at[coeff_idx].add(coeff_val).reshape(mb, 6, 64)
+    mv_h = get("mv_h", jnp.int16, mb).astype(jnp.int32)
+    mv_v = get("mv_v", jnp.int16, mb).astype(jnp.int32)
+    nblocks = get("nblocks", jnp.int8, 6 * mb).astype(jnp.int32) \
+        .reshape(mb, 6)
+    intra_blk = get("intra_blk", jnp.int8, 6 * mb).astype(jnp.int32) \
+        .reshape(mb, 6)
+    src_sel = get("src_sel", jnp.int8, mb).astype(jnp.int32)
+    flags = get("flags", jnp.int32, 1)[0]
+    is_ref = flags & 1
+    is_noop = 1 - ((flags >> 1) & 1)
+    return coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v, is_ref, is_noop
+
+
 def unpack_plan_jax(plan, geom: FrameGeometry):
     """Densify one packed scan step's plan on device (scatter-add; the
     zero-padding indices add value 0 at position 0 — harmless)."""
@@ -125,29 +215,38 @@ def unpack_plan_jax(plan, geom: FrameGeometry):
             plan["mv_v"].astype(jnp.int32))
 
 
-def make_scan_decoder(geom: FrameGeometry, packed: bool = False):
+def make_scan_decoder(geom: FrameGeometry, packed: bool = False,
+                      blob_k: int = 0):
     """Build the jitted scan: (carry, stacked plans) -> (carry, displays).
 
     carry = (current, forward, backward) flat uint8 frame buffers.
     displays[t] = the frame the reference's Decode() would return after
     picture t (old backward for reference pictures, the decoded picture
     for B pictures).  Validity of each display is tracked host-side.
+
+    Plan transport: dense dict (packed=False), packed dict (packed=True)
+    or — fastest — a single uint8 blob per window (blob_k > 0, giving the
+    coefficient capacity; see pack_plans_blob).
     """
     import jax
     import jax.numpy as jnp
 
     def step(carry, plan):
         cur, fwd, bwd = carry
-        is_ref = plan["is_ref"]
-        run = 1 - plan["is_noop"]
 
-        if packed:
+        if blob_k:
+            (coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v,
+             is_ref, is_noop) = unpack_blob_jax(plan, geom, blob_k)
+        elif packed:
             coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v = \
                 unpack_plan_jax(plan, geom)
+            is_ref, is_noop = plan["is_ref"], plan["is_noop"]
         else:
             coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v = (
                 plan["coeffs"], plan["nblocks"], plan["intra_blk"],
                 plan["src_sel"], plan["mv_h"], plan["mv_v"])
+            is_ref, is_noop = plan["is_ref"], plan["is_noop"]
+        run = 1 - is_noop
 
         # Reference pictures alias forward=backward before the slices.
         fwd_eff = jnp.where(is_ref > 0, bwd, fwd)
@@ -179,11 +278,12 @@ class BatchVideoDecoder:
     pictures per device round trip.
     """
 
-    def __init__(self, buf, window: int = 32, packed: bool = True):
+    def __init__(self, buf, window: int = 32, transport: str = "blob"):
         self.video = Video(buf, backend="plan")
         self.window = window
-        self.packed = packed
+        self.transport = transport   # "blob" | "packed" | "dense"
         self._scan = None
+        self._scan_k = 0
         self._carry = None
         self._has_reference_frame = False
         self._types: list[int] = []
@@ -196,8 +296,15 @@ class BatchVideoDecoder:
 
     def _ensure_device_state(self):
         import jax.numpy as jnp
-        if self._scan is None:
-            self._scan = make_scan_decoder(self.geom, packed=self.packed)
+        rebuild = self._scan is None or \
+            (self.transport == "blob" and self._scan_k != self._k)
+        if rebuild:
+            self._scan = make_scan_decoder(
+                self.geom,
+                packed=self.transport == "packed",
+                blob_k=self._k if self.transport == "blob" else 0)
+            self._scan_k = self._k
+        if self._carry is None:
             zero = jnp.zeros(self.geom.total_size, jnp.uint8)
             self._carry = (zero, zero, zero)
 
@@ -227,11 +334,16 @@ class BatchVideoDecoder:
                 return [self._carry[2]]   # backward
             return []
 
-        if self.packed:
+        if self.transport in ("blob", "packed"):
             need = count_plan_coeffs(plans)
             while self._k < need:
                 self._k *= 2   # grow the capacity bucket (recompile)
-            stacked = pack_plans(plans, self.geom, self.window, self._k)
+            self._ensure_device_state()
+            if self.transport == "blob":
+                stacked = pack_plans_blob(
+                    plans, self.geom, self.window, self._k)
+            else:
+                stacked = pack_plans(plans, self.geom, self.window, self._k)
         else:
             stacked = stack_plans(plans, self.geom, self.window)
         self._carry, disps = self._scan(self._carry, stacked)
