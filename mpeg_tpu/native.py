@@ -1,0 +1,133 @@
+"""ctypes bindings for the native (C++) host parser.
+
+The native parser is the hot-path replacement for the Python VLC loop —
+same picture-plan output, validated plan-for-plan against the Python
+oracle (tests/test_native.py).  Built on demand with g++ (no pybind11 in
+this image); the shared object is cached next to the sources.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+
+_lib = None
+
+
+def _build_if_needed() -> str:
+    src = os.path.join(_NATIVE_DIR, "parser.cpp")
+    hdr = os.path.join(_NATIVE_DIR, "vlc_tables.h")
+    digest = hashlib.sha256(
+        open(src, "rb").read() + open(hdr, "rb").read()).hexdigest()[:16]
+    so = os.path.join(_NATIVE_DIR, f"libmpegtpu-{digest}.so")
+    if not os.path.exists(so):
+        tmp = so + ".tmp"
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             "-march=native", src, "-o", tmp],
+            check=True, cwd=_NATIVE_DIR, capture_output=True)
+        os.replace(tmp, so)
+    return so
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if necessary) the native parser library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(_build_if_needed())
+
+    lib.vp_create.restype = ctypes.c_void_p
+    lib.vp_destroy.argtypes = [ctypes.c_void_p]
+    lib.vp_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                            ctypes.c_int64]
+    lib.vp_signal_end.argtypes = [ctypes.c_void_p]
+    lib.vp_has_header.argtypes = [ctypes.c_void_p]
+    lib.vp_has_header.restype = ctypes.c_int
+    lib.vp_width.argtypes = [ctypes.c_void_p]
+    lib.vp_width.restype = ctypes.c_int
+    lib.vp_height.argtypes = [ctypes.c_void_p]
+    lib.vp_height.restype = ctypes.c_int
+    lib.vp_framerate.argtypes = [ctypes.c_void_p]
+    lib.vp_framerate.restype = ctypes.c_double
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.vp_parse_picture.argtypes = [ctypes.c_void_p] + [p_i32] * 6
+    lib.vp_parse_picture.restype = ctypes.c_int
+
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False
+
+
+class NativeVideoParser:
+    """Streaming native parser: feed ES bytes, pull picture plans.
+
+    Mirrors Video(backend="plan").parse_next_plan() — returns
+    (_PicturePlan-compatible object, picture_type) pairs.
+    """
+
+    def __init__(self, data: Optional[bytes] = None):
+        self._lib = load()
+        self._h = self._lib.vp_create()
+        if data is not None:
+            self.feed(data)
+            self.signal_end()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.vp_destroy(self._h)
+            self._h = None
+
+    def feed(self, data: bytes) -> None:
+        self._lib.vp_feed(self._h, bytes(data), len(data))
+
+    def signal_end(self) -> None:
+        self._lib.vp_signal_end(self._h)
+
+    def has_header(self) -> bool:
+        return bool(self._lib.vp_has_header(self._h))
+
+    @property
+    def width(self) -> int:
+        return self._lib.vp_width(self._h)
+
+    @property
+    def height(self) -> int:
+        return self._lib.vp_height(self._h)
+
+    @property
+    def framerate(self) -> float:
+        return self._lib.vp_framerate(self._h)
+
+    def geom(self):
+        from .ops.video_recon import FrameGeometry
+        return FrameGeometry.for_size(self.width, self.height)
+
+    def parse_next_plan(self):
+        """Parse one picture; returns (plan, picture_type) or None."""
+        if not self.has_header():
+            return None
+        from .video import _PicturePlan
+        mb = ((self.width + 15) >> 4) * ((self.height + 15) >> 4)
+        plan = _PicturePlan(mb)
+        ptype = self._lib.vp_parse_picture(
+            self._h, plan.coeffs.reshape(-1), plan.nblocks.reshape(-1),
+            plan.intra_blk.reshape(-1), plan.src_sel, plan.mv_h, plan.mv_v)
+        if ptype == 0:
+            return None
+        return plan, ptype

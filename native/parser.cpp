@@ -1,0 +1,533 @@
+// Native MPEG-1 video ES parser: the hot serial half of the decoder.
+//
+// Fills the same dense "picture plan" arrays as the Python parser
+// (mpeg_tpu/video.py), with identical semantics — including the
+// junk-tolerance quirks the golden hashes depend on (invalid VLC prefixes
+// decode to value 0, persistent blockData scratch with partial clearing,
+// plan resets on re-prediction).  The Python parser remains the readable
+// oracle; tests/test_native.py checks plan-for-plan equality.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC parser.cpp -o libmpegtpu.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "vlc_tables.h"
+
+namespace {
+
+constexpr int PIC_I = 1, PIC_P = 2, PIC_B = 3;
+constexpr int START_PICTURE = 0x00;
+constexpr int START_SEQUENCE = 0xB3;
+constexpr int START_EXTENSION = 0xB5;
+constexpr int START_USER_DATA = 0xB2;
+
+struct CorruptStream {};    // invalid VLC prefix (unreachable prefixes)
+struct Truncated {};        // bit read past the end of available data
+
+// ---------------------------------------------------------------------------
+// Bit reader over the whole buffered ES (no refill callbacks: the caller
+// feeds bytes; parse_picture only runs when a whole picture is buffered
+// or the stream has ended — same contract as the Python decode loop).
+// ---------------------------------------------------------------------------
+struct BitReader {
+    const uint8_t* data = nullptr;
+    int64_t size = 0;       // bytes
+    int64_t bit = 0;        // bit cursor
+
+    bool has(int64_t count) const { return (size << 3) - bit >= count; }
+
+    int read(int count) {
+        int value = 0;
+        while (count) {
+            int64_t byte_pos = bit >> 3;
+            if (byte_pos >= size) throw Truncated{};
+            int current = data[byte_pos];
+            int remaining = 8 - (int)(bit & 7);
+            int n = count < remaining ? count : remaining;
+            int shift = remaining - n;
+            int mask = 0xFF >> (8 - n);
+            value = (value << n) | ((current & (mask << shift)) >> shift);
+            bit += n;
+            count -= n;
+        }
+        return value;
+    }
+
+    int read1() {
+        int64_t byte_pos = bit >> 3;
+        if (byte_pos >= size) throw Truncated{};
+        int v = (data[byte_pos] >> (7 - (bit & 7))) & 1;
+        bit += 1;
+        return v;
+    }
+
+    // Peek up to 16 bits; bits past the end read as zero.
+    int peek16(int count) const {
+        int64_t byte_pos = bit >> 3;
+        uint32_t w = 0;
+        for (int i = 0; i < 3; i++) {
+            w <<= 8;
+            if (byte_pos + i < size) w |= data[byte_pos + i];
+        }
+        return (int)((w >> (24 - (bit & 7) - count)) & ((1u << count) - 1));
+    }
+
+    void align() { bit = ((bit + 7) >> 3) << 3; }
+    void skip(int count) { if (has(count)) bit += count; }
+
+    bool peek_non_zero(int count) {
+        if (!has(count)) return false;
+        int64_t save = bit;
+        int v = read(count);
+        bit = save;
+        return v != 0;
+    }
+
+    // Next byte-aligned 00 00 01 xx start code; -1 when exhausted.
+    // Parity with buffer.go:279-302 (resting position 4 bytes from end).
+    int next_start_code() {
+        align();
+        int64_t stop = size - 4;
+        int64_t i = bit >> 3;
+        for (; i < stop; i++) {
+            if (data[i] == 0x00 && data[i + 1] == 0x00 && data[i + 2] == 0x01) {
+                bit = (i + 4) << 3;
+                return data[i + 3];
+            }
+        }
+        if (stop > (bit >> 3)) bit = stop << 3;
+        return -1;
+    }
+
+    int find_start_code(int code) {
+        for (;;) {
+            int current = next_start_code();
+            if (current == code || current == -1) return current;
+        }
+    }
+
+    // Peek variant: is there a `code` start code ahead?
+    int has_start_code(int code) {
+        int64_t save = bit;
+        int current = find_start_code(code);
+        bit = save;
+        return current;
+    }
+
+    template <typename T>
+    int read_vlc(const T* values, const uint8_t* lengths, int bits) {
+        int idx = peek16(bits);
+        int len = lengths[idx];
+        if (len == 0) throw CorruptStream{};
+        bit += len;
+        return (int)values[idx];
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Parser state (mirrors mpeg_tpu/video.py field-for-field)
+// ---------------------------------------------------------------------------
+struct Motion {
+    int full_px = 0, r_size = 0, h = 0, v = 0;
+    bool is_set = false;
+};
+
+struct VideoParser {
+    std::vector<uint8_t> buf;
+    int64_t base_bit = 0;     // consumed bits compacted away so far
+    bool ended = false;
+
+    BitReader br;
+
+    // sequence state
+    bool has_seq_header = false;
+    int width = 0, height = 0, mb_width = 0, mb_height = 0, mb_size = 0;
+    double frame_rate = 0, aspect = 0;
+    int bit_rate = 0;
+    uint8_t intra_q[64], non_intra_q[64];
+
+    // picture / slice / mb state
+    int start_code = -1;
+    int picture_type = 0;
+    Motion fwd, bwd;
+    int quantizer_scale = 0;
+    bool slice_begin = false;
+    int mb_address = 0, mb_row = 0, mb_col = 0;
+    int mb_type = 0;
+    bool mb_intra = false;
+    int dc_pred[3] = {0, 0, 0};
+
+    // persistent blockData scratch (video.go:101 semantics)
+    int32_t block_data[64] = {0};
+
+    // plan outputs (borrowed numpy buffers, set per parse call)
+    int32_t* coeffs = nullptr;     // [mb, 6, 64]
+    int32_t* nblocks = nullptr;    // [mb, 6]
+    int32_t* intra_blk = nullptr;  // [mb, 6]
+    int32_t* src_sel = nullptr;    // [mb]
+    int32_t* mv_h = nullptr;       // [mb]
+    int32_t* mv_v = nullptr;       // [mb]
+
+    void sync() { br.data = buf.data(); br.size = (int64_t)buf.size(); }
+
+    void compact() {
+        int64_t byte_pos = br.bit >> 3;
+        if (byte_pos > 0) {
+            buf.erase(buf.begin(), buf.begin() + byte_pos);
+            br.bit -= byte_pos << 3;
+            sync();
+        }
+    }
+
+    bool decode_sequence_header() {
+        if (!br.has(64 + 2 * 64 * 8)) return false;
+        width = br.read(12);
+        height = br.read(12);
+        if (width <= 0 || height <= 0) return false;
+        aspect = ASPECT_RATIO[br.read(4)];
+        frame_rate = PICTURE_RATE[br.read(4)];
+        bit_rate = br.read(18);
+        br.skip(1 + 10 + 1);
+        if (br.read1()) {
+            for (int i = 0; i < 64; i++) intra_q[ZIG_ZAG[i]] = (uint8_t)br.read(8);
+        } else {
+            std::memcpy(intra_q, INTRA_QUANT_DEFAULT, 64);
+        }
+        if (br.read1()) {
+            for (int i = 0; i < 64; i++) non_intra_q[ZIG_ZAG[i]] = (uint8_t)br.read(8);
+        } else {
+            std::memset(non_intra_q, 16, 64);
+        }
+        mb_width = (width + 15) >> 4;
+        mb_height = (height + 15) >> 4;
+        mb_size = mb_width * mb_height;
+        has_seq_header = true;
+        return true;
+    }
+
+    bool has_header() {
+        if (has_seq_header) return true;
+        if (start_code != START_SEQUENCE)
+            start_code = br.find_start_code(START_SEQUENCE);
+        if (start_code == -1) return false;
+        return decode_sequence_header();
+    }
+
+    int decode_motion_vector(int r_size, int motion) {
+        int fscale = 1 << r_size;
+        int m_code = br.read_vlc(MOTION_VAL, MOTION_LEN, MOTION_BITS);
+        int d;
+        if (m_code != 0 && fscale != 1) {
+            int r = br.read(r_size);
+            d = (((m_code < 0 ? -m_code : m_code) - 1) << r_size) + r + 1;
+            if (m_code < 0) d = -d;
+        } else {
+            d = m_code;
+        }
+        motion += d;
+        if (motion > (fscale << 4) - 1) motion -= fscale << 5;
+        else if (motion < -(fscale << 4)) motion += fscale << 5;
+        return motion;
+    }
+
+    void decode_motion_vectors() {
+        if (fwd.is_set) {
+            int r_size = fwd.r_size;
+            fwd.h = decode_motion_vector(r_size, fwd.h);
+            fwd.v = decode_motion_vector(r_size, fwd.v);
+        } else if (picture_type == PIC_P) {
+            fwd.h = 0;
+            fwd.v = 0;
+        }
+        if (bwd.is_set) {
+            int r_size = bwd.r_size;
+            bwd.h = decode_motion_vector(r_size, bwd.h);
+            bwd.v = decode_motion_vector(r_size, bwd.v);
+        }
+    }
+
+    void predict_macroblock() {
+        int fh = fwd.h, fv = fwd.v;
+        if (fwd.full_px) { fh <<= 1; fv <<= 1; }
+        int sel, mh, mv;
+        if (picture_type == PIC_B) {
+            int bh = bwd.h, bv = bwd.v;
+            if (bwd.full_px) { bh <<= 1; bv <<= 1; }
+            if (fwd.is_set && !bwd.is_set) { sel = 1; mh = fh; mv = fv; }
+            else { sel = 2; mh = bh; mv = bv; }
+        } else {
+            sel = 1; mh = fh; mv = fv;
+        }
+        if (mb_address < 0 || mb_address >= mb_size) return;
+        src_sel[mb_address] = sel;
+        mv_h[mb_address] = mh;
+        mv_v[mb_address] = mv;
+        // New prediction erases earlier residuals/intra stores of this MB.
+        std::memset(nblocks + mb_address * 6, 0, 6 * sizeof(int32_t));
+        std::memset(intra_blk + mb_address * 6, 0, 6 * sizeof(int32_t));
+    }
+
+    void decode_block(int block) {
+        int n = 0;
+        const uint8_t* quant;
+
+        if (mb_intra) {
+            int plane_index = block > 3 ? block - 3 : 0;
+            int predictor = dc_pred[plane_index];
+            int dct_size = plane_index == 0
+                ? br.read_vlc(DC_SIZE_L_VAL, DC_SIZE_L_LEN, DC_SIZE_L_BITS)
+                : br.read_vlc(DC_SIZE_C_VAL, DC_SIZE_C_LEN, DC_SIZE_C_BITS);
+            if (dct_size > 0) {
+                int differential = br.read(dct_size);
+                if (differential & (1 << (dct_size - 1)))
+                    block_data[0] = predictor + differential;
+                else
+                    block_data[0] = predictor +
+                        ((int)(~0u << dct_size) | (differential + 1));
+            } else {
+                block_data[0] = predictor;
+            }
+            dc_pred[plane_index] = block_data[0];
+            block_data[0] <<= 3 + 5;
+            quant = intra_q;
+            n = 1;
+        } else {
+            quant = non_intra_q;
+        }
+
+        for (;;) {
+            int coeff = (int)(uint16_t)br.read_vlc(
+                DCT_COEFF_VAL, DCT_COEFF_LEN, DCT_COEFF_BITS);
+            if (coeff == 0x0001 && n > 0 && br.read1() == 0) break;   // EOB
+
+            int run, level;
+            if (coeff == 0xFFFF) {
+                run = br.read(6);
+                level = br.read(8);
+                if (level == 0) level = br.read(8);
+                else if (level == 128) level = br.read(8) - 256;
+                else if (level > 128) level -= 256;
+            } else {
+                run = coeff >> 8;
+                level = coeff & 0xFF;
+                if (br.read1()) level = -level;
+            }
+
+            n += run;
+            if (n < 0 || n >= 64) return;   // invalid: no store, no clear
+            int pos = ZIG_ZAG[n] & 63;
+            n++;
+
+            level <<= 1;
+            if (!mb_intra) level += level < 0 ? -1 : 1;
+            level = (level * quantizer_scale * quant[pos]) >> 4;
+            if ((level & 1) == 0) level += level > 0 ? -1 : 1;
+            if (level > 2047) level = 2047;
+            else if (level < -2048) level = -2048;
+
+            block_data[pos] = level * PREMULTIPLIER[pos];
+        }
+
+        if (mb_address >= 0 && mb_address < mb_size) {
+            std::memcpy(coeffs + ((int64_t)mb_address * 6 + block) * 64,
+                        block_data, 64 * sizeof(int32_t));
+            nblocks[mb_address * 6 + block] = n;
+            intra_blk[mb_address * 6 + block] = mb_intra ? 1 : 0;
+        }
+        // Partial clear exactly like the reference (video.go:777,790-796).
+        if (n == 1) block_data[0] = 0;
+        else std::memset(block_data, 0, sizeof(block_data));
+    }
+
+    void decode_macroblock() {
+        int increment = 0;
+        int t = br.read_vlc(MB_ADDR_INC_VAL, MB_ADDR_INC_LEN, MB_ADDR_INC_BITS);
+        while (t == 34) t = br.read_vlc(MB_ADDR_INC_VAL, MB_ADDR_INC_LEN, MB_ADDR_INC_BITS);
+        while (t == 35) {
+            increment += 33;
+            t = br.read_vlc(MB_ADDR_INC_VAL, MB_ADDR_INC_LEN, MB_ADDR_INC_BITS);
+        }
+        increment += t;
+
+        if (slice_begin) {
+            slice_begin = false;
+            mb_address += increment;
+        } else {
+            if (mb_address + increment >= mb_size) return;
+            if (increment > 1) {
+                dc_pred[0] = dc_pred[1] = dc_pred[2] = 128;
+                if (picture_type == PIC_P) { fwd.h = 0; fwd.v = 0; }
+            }
+            while (increment > 1) {
+                mb_address++;
+                mb_row = mb_address / mb_width;
+                mb_col = mb_address % mb_width;
+                predict_macroblock();
+                increment--;
+            }
+            mb_address++;
+        }
+
+        // Go-style truncated division/modulo (mb_address may be negative
+        // with junk streams; C++ '/' and '%' truncate toward zero like Go).
+        mb_row = mb_address / mb_width;
+        mb_col = mb_address % mb_width;
+        if (mb_col >= mb_width || mb_row >= mb_height) return;
+
+        switch (picture_type) {
+            case PIC_I: mb_type = br.read_vlc(MB_TYPE_I_VAL, MB_TYPE_I_LEN, MB_TYPE_I_BITS); break;
+            case PIC_P: mb_type = br.read_vlc(MB_TYPE_P_VAL, MB_TYPE_P_LEN, MB_TYPE_P_BITS); break;
+            default:    mb_type = br.read_vlc(MB_TYPE_B_VAL, MB_TYPE_B_LEN, MB_TYPE_B_BITS); break;
+        }
+        mb_intra = (mb_type & 0x01) != 0;
+        fwd.is_set = (mb_type & 0x08) != 0;
+        bwd.is_set = (mb_type & 0x04) != 0;
+
+        if (mb_type & 0x10) quantizer_scale = br.read(5);
+
+        if (mb_intra) {
+            bwd.h = fwd.h = 0;
+            bwd.v = fwd.v = 0;
+        } else {
+            dc_pred[0] = dc_pred[1] = dc_pred[2] = 128;
+            decode_motion_vectors();
+            predict_macroblock();
+        }
+
+        int cbp = 0;
+        if (mb_type & 0x02)
+            cbp = br.read_vlc(CBP_VAL, CBP_LEN, CBP_BITS);
+        else if (mb_intra)
+            cbp = 0x3F;
+
+        for (int block = 0, mask = 0x20; block < 6; block++, mask >>= 1)
+            if (cbp & mask) decode_block(block);
+    }
+
+    void decode_slice(int slice) {
+        slice_begin = true;
+        mb_address = (slice - 1) * mb_width - 1;
+        bwd.h = fwd.h = 0;
+        bwd.v = fwd.v = 0;
+        dc_pred[0] = dc_pred[1] = dc_pred[2] = 128;
+        quantizer_scale = br.read(5);
+        while (br.read1() != 0) br.skip(8);
+
+        for (;;) {
+            decode_macroblock();
+            if (mb_address >= mb_size - 1 || !br.peek_non_zero(23)) break;
+        }
+    }
+
+    // Parse one picture; plan arrays are pre-zeroed by the caller.
+    // Returns picture_type (may be an ignored D/invalid type with no plan).
+    bool decode_picture() {
+        br.skip(10);
+        picture_type = br.read(3);
+        br.skip(16);
+
+        if (picture_type <= 0 || picture_type > PIC_B) return false;
+
+        if (picture_type == PIC_P || picture_type == PIC_B) {
+            fwd.full_px = br.read1();
+            int f_code = br.read(3);
+            if (f_code == 0) return false;
+            fwd.r_size = f_code - 1;
+        }
+        if (picture_type == PIC_B) {
+            bwd.full_px = br.read1();
+            int f_code = br.read(3);
+            if (f_code == 0) return false;
+            bwd.r_size = f_code - 1;
+        }
+
+        for (;;) {
+            start_code = br.next_start_code();
+            if (start_code != START_EXTENSION && start_code != START_USER_DATA)
+                break;
+        }
+
+        while (start_code >= 0x01 && start_code <= 0xAF) {
+            try {
+                decode_slice(start_code & 0xFF);
+            } catch (const CorruptStream&) {
+                break;
+            } catch (const Truncated&) {
+                break;
+            }
+            if (mb_address >= mb_size - 2) break;
+            start_code = br.next_start_code();
+        }
+        return true;
+    }
+
+    // parse_next_plan equivalent: returns picture_type >= 1 when a plan
+    // was produced, 0 when more data is needed / stream exhausted.
+    int parse_picture() {
+        sync();
+        if (!has_header()) return 0;
+        for (;;) {
+            if (start_code != START_PICTURE) {
+                start_code = br.find_start_code(START_PICTURE);
+                if (start_code == -1) return 0;
+            }
+            if (br.has_start_code(START_PICTURE) == -1 && !ended) return 0;
+            compact();
+            if (decode_picture()) return picture_type;
+            // D-frame / invalid: keep scanning.
+        }
+    }
+};
+
+}   // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+extern "C" {
+
+void* vp_create() { return new VideoParser(); }
+void vp_destroy(void* p) { delete (VideoParser*)p; }
+
+void vp_feed(void* p, const uint8_t* data, int64_t n) {
+    auto* v = (VideoParser*)p;
+    v->buf.insert(v->buf.end(), data, data + n);
+    v->sync();
+}
+
+void vp_signal_end(void* p) { ((VideoParser*)p)->ended = true; }
+
+int vp_has_header(void* p) {
+    auto* v = (VideoParser*)p;
+    v->sync();
+    return v->has_header() ? 1 : 0;
+}
+
+int vp_width(void* p) { return ((VideoParser*)p)->width; }
+int vp_height(void* p) { return ((VideoParser*)p)->height; }
+double vp_framerate(void* p) { return ((VideoParser*)p)->frame_rate; }
+
+int vp_parse_picture(void* p, int32_t* coeffs, int32_t* nblocks,
+                     int32_t* intra_blk, int32_t* src_sel,
+                     int32_t* mv_h, int32_t* mv_v) {
+    auto* v = (VideoParser*)p;
+    v->coeffs = coeffs;
+    v->nblocks = nblocks;
+    v->intra_blk = intra_blk;
+    v->src_sel = src_sel;
+    v->mv_h = mv_h;
+    v->mv_v = mv_v;
+    try {
+        return v->parse_picture();
+    } catch (const Truncated&) {
+        return 0;
+    } catch (const CorruptStream&) {
+        return 0;
+    }
+}
+
+}   // extern "C"

@@ -1,0 +1,66 @@
+"""Native (C++) parser differential tests vs the Python oracle parser."""
+
+import numpy as np
+import pytest
+
+import mpeg_tpu as mpeg
+from mpeg_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def test_native_header(mpeg1video_path):
+    p = native.NativeVideoParser(open(mpeg1video_path, "rb").read())
+    assert p.has_header()
+    assert p.width == 160
+    assert p.height == 120
+    assert p.framerate == 30.0
+
+
+def test_native_plans_match_python(mpeg1video_path):
+    """Every picture plan must match the Python parser exactly."""
+    data = open(mpeg1video_path, "rb").read()
+    nat = native.NativeVideoParser(data)
+
+    buf = mpeg.Buffer(open(mpeg1video_path, "rb"))
+    buf.set_load_callback(buf.load_reader_callback)
+    py = mpeg.Video(buf, backend="plan")
+    assert py.has_header()
+
+    n = 0
+    while True:
+        a = nat.parse_next_plan()
+        b = py.parse_next_plan()
+        assert (a is None) == (b is None), f"picture {n}: presence differs"
+        if a is None:
+            break
+        plan_a, type_a = a
+        plan_b, type_b = b
+        assert type_a == type_b, f"picture {n}: type {type_a} vs {type_b}"
+        for field in ("coeffs", "nblocks", "intra_blk",
+                      "src_sel", "mv_h", "mv_v"):
+            va, vb = getattr(plan_a, field), getattr(plan_b, field)
+            if not np.array_equal(va, vb):
+                d = np.flatnonzero(va.reshape(-1) != vb.reshape(-1))
+                raise AssertionError(
+                    f"picture {n} field {field}: {d.size} diffs, first at "
+                    f"{d[0]}: {va.reshape(-1)[d[0]]} vs "
+                    f"{vb.reshape(-1)[d[0]]}")
+        n += 1
+    assert n == 261   # pictures decoded from the fixture
+
+
+def test_native_streaming_feed(mpeg1video_path):
+    """Chunked feed produces the same number of pictures."""
+    data = open(mpeg1video_path, "rb").read()
+    p = native.NativeVideoParser()
+    n = 0
+    for i in range(0, len(data), 8192):
+        p.feed(data[i:i + 8192])
+        while p.has_header() and (item := p.parse_next_plan()) is not None:
+            n += 1
+    p.signal_end()
+    while (item := p.parse_next_plan()) is not None:
+        n += 1
+    assert n == 261
