@@ -136,23 +136,57 @@ def main():
     base_fps = baseline_fps(path)
     log(f"baseline (libavcodec single decoder): {base_fps:.1f} fps")
 
-    geom, blob, kcap, parse_spf = parse_plans(path, WINDOW)
-    log(f"blob: {blob.shape} ({blob.nbytes/1e6:.2f} MB/window/stream, "
-        f"k={kcap})")
-
     import jax
     import jax.numpy as jnp
-    from mpeg_tpu.parallel.batch import make_scan_decoder
+    from mpeg_tpu import native
+    from mpeg_tpu.parallel.batch import (
+        blob_layout, make_scan_decoder, relayout_blob_row,
+    )
 
     devices = jax.devices()
     log(f"devices: {devices}")
 
-    scan = make_scan_decoder(geom, blob_k=kcap)
-    vscan = jax.jit(jax.vmap(scan))
+    data = open(path, "rb").read()
 
+    # --- host parse: native C++ parser emitting blob rows directly ---
+    parser = native.NativeVideoParser(data)
+    assert parser.has_header()
+    geom = parser.geom()
+
+    t0 = time.time()
+    k = 4096
+    rows, types = [], []
+    while True:
+        ptype = parser.blob_prepare()
+        if ptype == 0:
+            break
+        need = parser.blob_coeff_count()
+        if need > k:
+            old_k = k
+            while k < need:
+                k *= 2
+            rows = [relayout_blob_row(r, geom, old_k, k) for r in rows]
+        _offs, step_bytes = blob_layout(geom, k)
+        row = np.zeros(step_bytes, np.uint8)
+        parser.blob_emit(row, k)
+        rows.append(row)
+        types.append(ptype)
+    parse_dt = time.time() - t0
+    log(f"native parse+blob: {len(rows)} pictures in {parse_dt:.2f}s "
+        f"({parse_dt/len(rows)*1000:.1f} ms/pic, k={k}, "
+        f"{rows[0].nbytes/1e6:.2f} MB/pic)")
+
+    # --- device: multi-stream windowed scan over the parsed blobs ---
+    _offs, step_bytes = blob_layout(geom, k)
+    n_win = max(1, len(rows) // WINDOW)
+    blob = np.zeros((WINDOW, step_bytes), np.uint8)
+    blob[:] = rows[:WINDOW]
+    blobs = np.broadcast_to(blob, (STREAMS,) + blob.shape).copy()
+
+    scan = make_scan_decoder(geom, blob_k=k)
+    vscan = jax.jit(jax.vmap(scan))
     z = jnp.zeros((STREAMS, geom.total_size), jnp.uint8)
     carry = (z, z, z)
-    blobs = np.broadcast_to(blob, (STREAMS,) + blob.shape).copy()
 
     t0 = time.time()
     cur = jax.device_put(blobs)
@@ -160,22 +194,49 @@ def main():
     jax.block_until_ready(disps)
     log(f"compile+first window: {time.time()-t0:.1f}s")
 
-    # Sustained, double-buffered: next window's blob transfers while the
-    # device reconstructs the current one.
+    # Sustained end-to-end: for each round, RE-PARSE a window on host
+    # (native parser), pack, transfer, reconstruct — double-buffered.
+    parsers = [native.NativeVideoParser(data) for _ in range(STREAMS)]
+    for p in parsers:
+        p.blob_prepare()   # warm header state
+    def host_window():
+        out = np.zeros((STREAMS, WINDOW, step_bytes), np.uint8)
+        for s, p in enumerate(parsers):
+            for w in range(WINDOW):
+                ptype = p.blob_prepare()
+                if ptype == 0:   # loop the stream
+                    parsers[s] = p = native.NativeVideoParser(data)
+                    ptype = p.blob_prepare()
+                p.blob_emit(out[s, w], k)
+        return out
+
     t0 = time.time()
+    nxt = jax.device_put(host_window())
     for _ in range(ROUNDS):
-        nxt = jax.device_put(blobs)
-        carry, disps = vscan(carry, cur)
         cur = nxt
+        carry, disps = vscan(carry, cur)
+        nxt = jax.device_put(host_window())
     jax.block_until_ready(disps)
     dt = time.time() - t0
     frames = STREAMS * WINDOW * ROUNDS
     fps = frames / dt
-    log(f"sustained pipeline: {frames} frames in {dt:.2f}s -> {fps:.1f} fps "
-        f"(blob h2d + device reconstruct, {STREAMS} streams x window "
-        f"{WINDOW})")
+    log(f"END-TO-END: {frames} frames in {dt:.2f}s -> {fps:.1f} fps "
+        f"(native parse + blob h2d + device reconstruct, {STREAMS} "
+        f"streams x window {WINDOW}, single host core)")
 
-    # Device-only (plans resident) for reference.
+    # transfer+device only (parse excluded)
+    pre = host_window()
+    t0 = time.time()
+    for _ in range(ROUNDS):
+        carry, disps = vscan(carry, jax.device_put(pre))
+    jax.block_until_ready(disps)
+    xfer_fps = frames / (time.time() - t0)
+    log(f"transfer+device only: {xfer_fps:.1f} fps")
+
+    # device only (blob resident)
+    cur = jax.device_put(pre)
+    carry, disps = vscan(carry, cur)
+    jax.block_until_ready(disps)
     t0 = time.time()
     for _ in range(ROUNDS):
         carry, disps = vscan(carry, cur)
@@ -185,9 +246,9 @@ def main():
     log(f"total bench wall: {time.time()-t_start:.1f}s")
 
     print(json.dumps({
-        "metric": "1080p MPEG-1 decode, packed-plan h2d + device "
-                  "reconstruct, frames/sec/chip (baseline: libavcodec "
-                  "1-thread on host)",
+        "metric": "1080p MPEG-1 end-to-end decode fps/chip (native parse "
+                  "+ packed h2d + TPU reconstruct; baseline: libavcodec "
+                  "1-thread on the same single-core host)",
         "value": round(fps, 1),
         "unit": "fps",
         "vs_baseline": round(fps / base_fps, 2) if base_fps else 0.0,

@@ -62,6 +62,16 @@ def load() -> ctypes.CDLL:
     lib.vp_parse_picture.argtypes = [ctypes.c_void_p] + [p_i32] * 6
     lib.vp_parse_picture.restype = ctypes.c_int
 
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.vp_parse_blob_prepare.argtypes = [ctypes.c_void_p]
+    lib.vp_parse_blob_prepare.restype = ctypes.c_int
+    lib.vp_blob_coeff_count.argtypes = [ctypes.c_void_p]
+    lib.vp_blob_coeff_count.restype = ctypes.c_int64
+    lib.vp_blob_emit.argtypes = [ctypes.c_void_p, p_u8, ctypes.c_int64,
+                                 p_i64, ctypes.c_int]
+    lib.vp_blob_emit.restype = ctypes.c_int64
+
     _lib = lib
     return lib
 
@@ -131,3 +141,27 @@ class NativeVideoParser:
         if ptype == 0:
             return None
         return plan, ptype
+
+    # -- direct blob emission (no dense detour) -----------------------------
+
+    def blob_prepare(self) -> int:
+        """Parse one picture into internal plan storage; returns
+        picture_type, 0 at end/underflow."""
+        if not self.has_header():
+            return 0
+        return self._lib.vp_parse_blob_prepare(self._h)
+
+    def blob_coeff_count(self) -> int:
+        return int(self._lib.vp_blob_coeff_count(self._h))
+
+    def blob_emit(self, row: np.ndarray, k: int) -> int:
+        """Emit the prepared picture into a pre-zeroed blob row laid out
+        for capacity `k` (call blob_coeff_count first to size it)."""
+        from .parallel.batch import blob_layout, BLOB_FIELDS
+        geom = self.geom()
+        offs, step_bytes = blob_layout(geom, k)
+        assert row.shape == (step_bytes,) and row.dtype == np.uint8
+        offsets = np.asarray([offs[f][0] for f in BLOB_FIELDS], np.int64)
+        bid_bytes = 2 if geom.mb_size * 6 <= 0xFFFF else 4
+        return int(self._lib.vp_blob_emit(self._h, row, k, offsets,
+                                          bid_bytes))

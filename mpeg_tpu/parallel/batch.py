@@ -119,14 +119,26 @@ def count_plan_coeffs(plans) -> int:
 # layout), so a whole window is ONE transfer; the device unpacks with
 # free bitcast/slice ops.
 
+BLOB_FIELDS = ("coeff_bid", "coeff_pos", "coeff_val",
+               "mv_h", "mv_v", "nblocks", "intra_blk", "src_sel", "flags")
+
+
 def blob_layout(geom: FrameGeometry, k: int):
-    """Field offsets (bytes) within one step row."""
+    """Field offsets (bytes) within one step row.
+
+    Coefficients are 6-byte records split across three arrays: block id
+    (uint16, mb*6 < 65536 up to ~1080p-class geometries is NOT assumed —
+    ids use uint32 when needed), position-in-block (uint8) and the
+    premultiplied value as a signed 24-bit little-endian integer (range
+    +-2^23 covers level*premult and the DC<<8 path with margin).
+    """
     mb = geom.mb_size
+    bid_bytes = 2 if mb * 6 <= 0xFFFF else 4
     fields = [
-        ("coeff_idx", 4 * k), ("coeff_val", 4 * k),
+        ("coeff_bid", bid_bytes * k), ("coeff_pos", k), ("coeff_val", 3 * k),
         ("mv_h", 2 * mb), ("mv_v", 2 * mb),
         ("nblocks", 6 * mb), ("intra_blk", 6 * mb),
-        ("src_sel", mb), ("flags", 4),   # bit0 = is_ref, bit1 = is_noop
+        ("src_sel", mb), ("flags", 4),   # bit0 = is_ref, bit1 = valid
     ]
     offs = {}
     pos = 0
@@ -148,13 +160,17 @@ def pack_plans_blob(plans, geom: FrameGeometry, window: int, k: int):
         assert len(raw) <= size
         blob[i, off:off + len(raw)] = np.frombuffer(raw, np.uint8)
 
+    bid_dtype = np.uint16 if geom.mb_size * 6 <= 0xFFFF else np.uint32
     for i, (plan, ptype) in enumerate(plans):
         flat = plan.coeffs.reshape(-1)
         idx = np.flatnonzero(flat)
         if idx.size > k:
             raise ValueError(f"coefficient capacity {k} < {idx.size}")
-        put(i, "coeff_idx", idx.astype(np.int32))
-        put(i, "coeff_val", flat[idx].astype(np.int32))
+        vals = flat[idx]
+        put(i, "coeff_bid", (idx >> 6).astype(bid_dtype))
+        put(i, "coeff_pos", (idx & 63).astype(np.uint8))
+        v24 = vals.astype(np.int32)[:, None] >> np.array([0, 8, 16])
+        put(i, "coeff_val", (v24 & 0xFF).astype(np.uint8))
         put(i, "mv_h", plan.mv_h.astype(np.int16))
         put(i, "mv_v", plan.mv_v.astype(np.int16))
         put(i, "nblocks", plan.nblocks.astype(np.int8))
@@ -164,6 +180,17 @@ def pack_plans_blob(plans, geom: FrameGeometry, window: int, k: int):
         # bit0 = is_ref, bit1 = valid step (unset rows are no-op padding)
         put(i, "flags", np.asarray([(1 if is_ref else 0) | 2], np.int32))
     return blob
+
+
+def relayout_blob_row(row, geom: FrameGeometry, old_k: int, new_k: int):
+    """Re-layout a blob row for a larger coefficient capacity."""
+    old_offs, _ = blob_layout(geom, old_k)
+    new_offs, new_bytes = blob_layout(geom, new_k)
+    out = np.zeros(new_bytes, np.uint8)
+    for name, (off, size) in old_offs.items():
+        noff, _nsize = new_offs[name]
+        out[noff:noff + size] = row[off:off + size]
+    return out
 
 
 def unpack_blob_jax(row, geom: FrameGeometry, k: int):
@@ -182,10 +209,14 @@ def unpack_blob_jax(row, geom: FrameGeometry, k: int):
             return lax.bitcast_convert_type(raw, dtype)
         return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
 
-    coeff_idx = get("coeff_idx", jnp.int32, k)
-    coeff_val = get("coeff_val", jnp.int32, k)
+    bid_dtype = jnp.uint16 if mb * 6 <= 0xFFFF else jnp.uint32
+    bid = get("coeff_bid", bid_dtype, k).astype(jnp.int32)
+    pos = get("coeff_pos", jnp.uint8, k).astype(jnp.int32)
+    raw = get("coeff_val", jnp.uint8, 3 * k).reshape(k, 3).astype(jnp.int32)
+    # sign-extend the 24-bit little-endian value
+    val = (raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)) << 8 >> 8
     coeffs = jnp.zeros(mb * 6 * 64, jnp.int32) \
-        .at[coeff_idx].add(coeff_val).reshape(mb, 6, 64)
+        .at[bid * 64 + pos].add(val).reshape(mb, 6, 64)
     mv_h = get("mv_h", jnp.int16, mb).astype(jnp.int32)
     mv_v = get("mv_v", jnp.int16, mb).astype(jnp.int32)
     nblocks = get("nblocks", jnp.int8, 6 * mb).astype(jnp.int32) \
@@ -278,8 +309,32 @@ class BatchVideoDecoder:
     pictures per device round trip.
     """
 
-    def __init__(self, buf, window: int = 32, transport: str = "blob"):
-        self.video = Video(buf, backend="plan")
+    def __init__(self, buf, window: int = 32, transport: str = "blob",
+                 use_native: bool = None):
+        """`buf` is a Buffer (Python parse) or bytes (native parse).
+
+        use_native: parse with the C++ parser (requires blob transport);
+        default: native when available and the input is bytes.
+        """
+        from .. import native as native_mod
+        if use_native is None:
+            use_native = isinstance(buf, (bytes, bytearray)) and \
+                native_mod.available()
+        self.native = None
+        self.video = None
+        if use_native:
+            assert transport == "blob", "native parse emits blob rows"
+            data = buf if isinstance(buf, (bytes, bytearray)) else \
+                bytes(buf.bytes())
+            self.native = native_mod.NativeVideoParser(data)
+        else:
+            if isinstance(buf, (bytes, bytearray)):
+                import io
+                from ..buffer import Buffer
+                b = Buffer(io.BytesIO(bytes(buf)))
+                b.set_load_callback(b.load_reader_callback)
+                buf = b
+            self.video = Video(buf, backend="plan")
         self.window = window
         self.transport = transport   # "blob" | "packed" | "dense"
         self._scan = None
@@ -292,7 +347,17 @@ class BatchVideoDecoder:
 
     @property
     def geom(self) -> FrameGeometry:
-        return self.video.geom
+        return self.native.geom() if self.native is not None \
+            else self.video.geom
+
+    def _has_header(self) -> bool:
+        return self.native.has_header() if self.native is not None \
+            else self.video.has_header()
+
+    def _stream_ended(self) -> bool:
+        if self.native is not None:
+            return True   # native mode gets the whole buffer up front
+        return self.video.buf.has_ended()
 
     def _ensure_device_state(self):
         import jax.numpy as jnp
@@ -318,23 +383,54 @@ class BatchVideoDecoder:
             plans.append(item)
         return plans
 
+    def _native_window(self):
+        """Parse up to `window` blob rows from the native parser."""
+        rows, types = [], []
+        while len(rows) < self.window:
+            ptype = self.native.blob_prepare()
+            if ptype == 0:
+                break
+            need = self.native.blob_coeff_count()
+            if need > self._k:
+                old_k = self._k
+                while self._k < need:
+                    self._k *= 2
+                rows = [relayout_blob_row(r, self.geom, old_k, self._k)
+                        for r in rows]
+            _offs, step_bytes = blob_layout(self.geom, self._k)
+            row = np.zeros(step_bytes, np.uint8)
+            self.native.blob_emit(row, self._k)
+            rows.append(row)
+            types.append(ptype)
+        return rows, types
+
     def decode_window(self) -> list[Optional[np.ndarray]]:
         """Parse + reconstruct one window; returns the displayed frames
         (flat uint8 device arrays; None entries are undisplayed)."""
-        if not self.video.has_header():
+        if not self._has_header():
             return []
         self._ensure_device_state()
 
-        plans = self.parse_window()
-        if not plans:
+        if self.native is not None:
+            rows, types = self._native_window()
+        else:
+            plans = self.parse_window()
+            rows, types = plans, [t for _, t in plans]
+
+        if not rows:
             # End of stream: flush the pending reference frame.
-            if self._has_reference_frame and self.video.buf.has_ended() \
+            if self._has_reference_frame and self._stream_ended() \
                     and self._types and self._types[-1] != PICTURE_TYPE_B:
                 self._has_reference_frame = False
                 return [self._carry[2]]   # backward
             return []
 
-        if self.transport in ("blob", "packed"):
+        if self.native is not None:
+            self._ensure_device_state()
+            _offs, step_bytes = blob_layout(self.geom, self._k)
+            stacked = np.zeros((self.window, step_bytes), np.uint8)
+            stacked[:len(rows)] = rows
+        elif self.transport in ("blob", "packed"):
             need = count_plan_coeffs(plans)
             while self._k < need:
                 self._k *= 2   # grow the capacity bucket (recompile)
@@ -349,7 +445,7 @@ class BatchVideoDecoder:
         self._carry, disps = self._scan(self._carry, stacked)
 
         out = []
-        for i, (_plan, ptype) in enumerate(plans):
+        for i, ptype in enumerate(types):
             self._types.append(ptype)
             if ptype == PICTURE_TYPE_B:
                 out.append(disps[i])

@@ -172,6 +172,34 @@ struct VideoParser {
     int32_t* mv_h = nullptr;       // [mb]
     int32_t* mv_v = nullptr;       // [mb]
 
+    // internal plan storage for direct blob emission
+    std::vector<int32_t> own_coeffs, own_nblocks, own_intra,
+        own_sel, own_mvh, own_mvv;
+    std::vector<int32_t> dirty_stamp;   // per-MB generation stamp
+    std::vector<int32_t> dirty_mbs;
+    int32_t generation = 0;
+    int last_ptype = 0;
+
+    void mark_dirty(int mb) {
+        if (dirty_stamp.empty()) return;   // dense mode: no tracking
+        if (mb >= 0 && mb < mb_size && dirty_stamp[mb] != generation) {
+            dirty_stamp[mb] = generation;
+            dirty_mbs.push_back(mb);
+        }
+    }
+
+    void ensure_own_plan() {
+        if ((int)own_sel.size() != mb_size) {
+            own_coeffs.assign((size_t)mb_size * 6 * 64, 0);
+            own_nblocks.assign((size_t)mb_size * 6, 0);
+            own_intra.assign((size_t)mb_size * 6, 0);
+            own_sel.assign(mb_size, 0);
+            own_mvh.assign(mb_size, 0);
+            own_mvv.assign(mb_size, 0);
+            dirty_stamp.assign(mb_size, -1);
+        }
+    }
+
     void sync() { br.data = buf.data(); br.size = (int64_t)buf.size(); }
 
     void compact() {
@@ -263,6 +291,7 @@ struct VideoParser {
             sel = 1; mh = fh; mv = fv;
         }
         if (mb_address < 0 || mb_address >= mb_size) return;
+        mark_dirty(mb_address);
         src_sel[mb_address] = sel;
         mv_h[mb_address] = mh;
         mv_v[mb_address] = mv;
@@ -333,6 +362,7 @@ struct VideoParser {
         }
 
         if (mb_address >= 0 && mb_address < mb_size) {
+            mark_dirty(mb_address);
             std::memcpy(coeffs + ((int64_t)mb_address * 6 + block) * 64,
                         block_data, 64 * sizeof(int32_t));
             nblocks[mb_address * 6 + block] = n;
@@ -483,6 +513,8 @@ struct VideoParser {
     }
 };
 
+struct CoeffRecord { int32_t bid; uint8_t pos; int32_t val; };
+
 }   // namespace
 
 // ---------------------------------------------------------------------------
@@ -510,6 +542,101 @@ int vp_has_header(void* p) {
 int vp_width(void* p) { return ((VideoParser*)p)->width; }
 int vp_height(void* p) { return ((VideoParser*)p)->height; }
 double vp_framerate(void* p) { return ((VideoParser*)p)->frame_rate; }
+
+// Two-phase blob parse: prepare parses one picture into internal plan
+// storage and returns picture_type (0 = need data / end); coeff_count
+// returns the number of nonzero coefficient records; emit writes one blob
+// row (pre-zeroed by the caller) using the field offsets passed from
+// Python's blob_layout (same order as BLOB_FIELDS) and clears the
+// internal plan for the next picture.
+int vp_parse_blob_prepare(void* p) {
+    auto* v = (VideoParser*)p;
+    v->sync();
+    if (!v->has_header()) return 0;
+    v->ensure_own_plan();
+    v->coeffs = v->own_coeffs.data();
+    v->nblocks = v->own_nblocks.data();
+    v->intra_blk = v->own_intra.data();
+    v->src_sel = v->own_sel.data();
+    v->mv_h = v->own_mvh.data();
+    v->mv_v = v->own_mvv.data();
+    try {
+        v->last_ptype = v->parse_picture();
+    } catch (const Truncated&) {
+        v->last_ptype = 0;
+    } catch (const CorruptStream&) {
+        v->last_ptype = 0;
+    }
+    return v->last_ptype;
+}
+
+int64_t vp_blob_coeff_count(void* p) {
+    auto* v = (VideoParser*)p;
+    int64_t n = 0;
+    for (int mb : v->dirty_mbs) {
+        const int32_t* c = v->own_coeffs.data() + (int64_t)mb * 6 * 64;
+        for (int j = 0; j < 6 * 64; j++) n += c[j] != 0;
+    }
+    return n;
+}
+
+// offsets: int64[9] byte offsets for BLOB_FIELDS
+// (coeff_bid, coeff_pos, coeff_val, mv_h, mv_v, nblocks, intra_blk,
+//  src_sel, flags); bid_bytes = 2 or 4.
+int64_t vp_blob_emit(void* p, uint8_t* row, int64_t k,
+                     const int64_t* offs, int bid_bytes) {
+    auto* v = (VideoParser*)p;
+    uint8_t* bid_out = row + offs[0];
+    uint8_t* pos_out = row + offs[1];
+    uint8_t* val_out = row + offs[2];
+    int16_t* mvh_out = (int16_t*)(row + offs[3]);
+    int16_t* mvv_out = (int16_t*)(row + offs[4]);
+    int8_t* nb_out = (int8_t*)(row + offs[5]);
+    int8_t* in_out = (int8_t*)(row + offs[6]);
+    int8_t* sel_out = (int8_t*)(row + offs[7]);
+    int32_t* flags_out = (int32_t*)(row + offs[8]);
+
+    int64_t n = 0;
+    for (int mb : v->dirty_mbs) {
+        sel_out[mb] = (int8_t)v->own_sel[mb];
+        mvh_out[mb] = (int16_t)v->own_mvh[mb];
+        mvv_out[mb] = (int16_t)v->own_mvv[mb];
+        for (int b = 0; b < 6; b++) {
+            nb_out[mb * 6 + b] = (int8_t)v->own_nblocks[mb * 6 + b];
+            in_out[mb * 6 + b] = (int8_t)v->own_intra[mb * 6 + b];
+        }
+        int32_t* c = v->own_coeffs.data() + (int64_t)mb * 6 * 64;
+        for (int j = 0; j < 6 * 64; j++) {
+            int32_t val = c[j];
+            if (val == 0) continue;
+            if (n < k) {
+                int32_t bid = mb * 6 + (j >> 6);
+                if (bid_bytes == 2) {
+                    ((uint16_t*)bid_out)[n] = (uint16_t)bid;
+                } else {
+                    ((uint32_t*)bid_out)[n] = (uint32_t)bid;
+                }
+                pos_out[n] = (uint8_t)(j & 63);
+                val_out[3 * n + 0] = (uint8_t)(val & 0xFF);
+                val_out[3 * n + 1] = (uint8_t)((val >> 8) & 0xFF);
+                val_out[3 * n + 2] = (uint8_t)((val >> 16) & 0xFF);
+            }
+            n++;
+        }
+        // clear the internal plan for the next picture
+        std::memset(c, 0, 6 * 64 * sizeof(int32_t));
+        std::memset(v->own_nblocks.data() + mb * 6, 0, 6 * sizeof(int32_t));
+        std::memset(v->own_intra.data() + mb * 6, 0, 6 * sizeof(int32_t));
+        v->own_sel[mb] = 0;
+        v->own_mvh[mb] = 0;
+        v->own_mvv[mb] = 0;
+    }
+    bool is_ref = v->last_ptype == PIC_I || v->last_ptype == PIC_P;
+    flags_out[0] = (is_ref ? 1 : 0) | 2;
+    v->dirty_mbs.clear();
+    v->generation++;
+    return n;   // records written (caller must ensure n <= k)
+}
 
 int vp_parse_picture(void* p, int32_t* coeffs, int32_t* nblocks,
                      int32_t* intra_blk, int32_t* src_sel,

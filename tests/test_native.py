@@ -64,3 +64,26 @@ def test_native_streaming_feed(mpeg1video_path):
     while (item := p.parse_next_plan()) is not None:
         n += 1
     assert n == 261
+
+
+def test_native_blob_golden(mpeg1video_path):
+    """End-to-end golden hash through native parse + blob + scan decode."""
+    from mpeg_tpu.parallel import BatchVideoDecoder
+    from mpeg_tpu.utils import Fnv1a64
+
+    data = open(mpeg1video_path, "rb").read()
+    dec = BatchVideoDecoder(data, window=16)
+    assert dec.native is not None, "native parser expected"
+
+    h = Fnv1a64()
+    frames = 0
+    while True:
+        got = dec.decode_window()
+        if not got:
+            break
+        for flat in got:
+            flat = np.asarray(flat)
+            h.write(flat[:dec.geom.frame_size].tobytes())
+            frames += 1
+    assert frames == 260
+    assert h.sum64() == 0xEA6D7FCB1340BA3F, f"{h.sum64():#018x}"
