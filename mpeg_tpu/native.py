@@ -72,6 +72,20 @@ def load() -> ctypes.CDLL:
                                  p_i64, ctypes.c_int]
     lib.vp_blob_emit.restype = ctypes.c_int64
 
+    lib.ap_create.restype = ctypes.c_void_p
+    lib.ap_destroy.argtypes = [ctypes.c_void_p]
+    lib.ap_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                            ctypes.c_int64]
+    lib.ap_signal_end.argtypes = [ctypes.c_void_p]
+    lib.ap_has_header.argtypes = [ctypes.c_void_p]
+    lib.ap_has_header.restype = ctypes.c_int
+    lib.ap_samplerate.argtypes = [ctypes.c_void_p]
+    lib.ap_samplerate.restype = ctypes.c_int
+    lib.ap_channels.argtypes = [ctypes.c_void_p]
+    lib.ap_channels.restype = ctypes.c_int
+    lib.ap_parse_frame.argtypes = [ctypes.c_void_p, p_i32]
+    lib.ap_parse_frame.restype = ctypes.c_int
+
     _lib = lib
     return lib
 
@@ -165,3 +179,43 @@ class NativeVideoParser:
         bid_bytes = 2 if geom.mb_size * 6 <= 0xFFFF else 4
         return int(self._lib.vp_blob_emit(self._h, row, k, offsets,
                                           bid_bytes))
+
+
+class NativeAudioParser:
+    """Streaming native MP2 parser: feed ES bytes, pull subband samples
+    [36, 2, 32] int32 per frame (mirrors Audio._parse_frame)."""
+
+    def __init__(self, data: Optional[bytes] = None):
+        self._lib = load()
+        self._h = self._lib.ap_create()
+        if data is not None:
+            self.feed(data)
+            self.signal_end()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.ap_destroy(self._h)
+            self._h = None
+
+    def feed(self, data: bytes) -> None:
+        self._lib.ap_feed(self._h, bytes(data), len(data))
+
+    def signal_end(self) -> None:
+        self._lib.ap_signal_end(self._h)
+
+    def has_header(self) -> bool:
+        return bool(self._lib.ap_has_header(self._h))
+
+    @property
+    def samplerate(self) -> int:
+        return self._lib.ap_samplerate(self._h)
+
+    @property
+    def channels(self) -> int:
+        return self._lib.ap_channels(self._h)
+
+    def parse_next_frame(self) -> Optional[np.ndarray]:
+        out = np.zeros((36, 2, 32), np.int32)
+        if self._lib.ap_parse_frame(self._h, out.reshape(-1)):
+            return out
+        return None

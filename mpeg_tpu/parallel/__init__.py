@@ -7,5 +7,6 @@ batch on a leading axis, and the stream axis shards over a device mesh.
 """
 
 from .batch import BatchVideoDecoder, make_scan_decoder
+from .audio_batch import BatchAudioDecoder
 
-__all__ = ["BatchVideoDecoder", "make_scan_decoder"]
+__all__ = ["BatchVideoDecoder", "BatchAudioDecoder", "make_scan_decoder"]

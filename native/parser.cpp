@@ -515,6 +515,234 @@ struct VideoParser {
 
 struct CoeffRecord { int32_t bid; uint8_t pos; int32_t val; };
 
+// ---------------------------------------------------------------------------
+// MP2 audio parser (mirrors mpeg_tpu/audio.py field-for-field); emits the
+// dequantized subband samples int32[36][2][32] per frame — the device
+// filterbank consumes them.
+// ---------------------------------------------------------------------------
+struct AudioParser {
+    std::vector<uint8_t> buf;
+    bool ended = false;
+    BitReader br;
+
+    int samplerate_index = 3, bitrate_index = 0;
+    int version = 0, layer = 0, mode = 0, channels = 0, bound = 0;
+    int next_frame_size = 0;
+    bool has_header_flag = false;
+
+    const int (*allocation[2][32])[3];   // pointers into QUANT_TAB rows
+    int scale_factor_info[2][32] = {};
+    int scale_factor[2][32][3] = {};
+    int sample[2][32][3] = {};
+
+    void sync() { br.data = buf.data(); br.size = (int64_t)buf.size(); }
+
+    void compact() {
+        int64_t byte_pos = br.bit >> 3;
+        if (byte_pos > 0) {
+            buf.erase(buf.begin(), buf.begin() + byte_pos);
+            br.bit -= byte_pos << 3;
+            sync();
+        }
+    }
+
+    bool find_frame_sync() {
+        // parity: buffer.go:326-339
+        int64_t i = br.bit >> 3;
+        for (; i < br.size - 1; i++) {
+            if (br.data[i] == 0xFF && (br.data[i + 1] & 0xFE) == 0xFC) {
+                br.bit = ((i + 1) << 3) + 3;
+                return true;
+            }
+        }
+        br.bit = (i + 1) << 3;
+        return false;
+    }
+
+    int skip_zero_bytes() {
+        br.align();
+        while (br.has(8) && br.data[br.bit >> 3] == 0x00) br.bit += 8;
+        return 0;
+    }
+
+    // Returns frame payload size in bytes; 0 when invalid/unavailable.
+    int decode_header() {
+        if (!br.has(48)) return 0;
+        skip_zero_bytes();
+        if (!br.has(48)) return 0;
+        int sync_bits = br.read(11);
+        if (sync_bits != 0x7FF && !find_frame_sync()) return 0;
+
+        version = br.read(2);
+        layer = br.read(2);
+        bool has_crc = br.read1() == 0;
+        if (version != 0x3 || layer != 0x2) return 0;   // MPEG-1 Layer II
+
+        int bi = br.read(4) - 1;
+        if (bi > 13 || bi < 0) return 0;
+        int si = br.read(2);
+        if (si == 3) return 0;
+        int padding = br.read1();
+        br.skip(1);
+        int md = br.read(2);
+
+        if (has_header_flag && (bitrate_index != bi ||
+                                samplerate_index != si || mode != md))
+            return 0;
+
+        bitrate_index = bi;
+        samplerate_index = si;
+        mode = md;
+        has_header_flag = true;
+        channels = (md == 0x3) ? 1 : 2;
+
+        if (md == 0x1) {                       // joint stereo
+            bound = (br.read(2) + 1) << 2;
+        } else {
+            br.skip(2);
+            bound = (md == 0x3) ? 0 : 32;
+        }
+        br.skip(4);
+        if (has_crc) br.skip(16);
+
+        int frame_size = (144000 * BIT_RATE[bitrate_index]) /
+            SAMPLE_RATE[samplerate_index] + padding;
+        return frame_size - (has_crc ? 6 : 4);
+    }
+
+    const int (*read_allocation(int sb, int tab3))[3] {
+        int tab4 = QUANT_LUT_STEP_3[tab3][sb];
+        int qtab = QUANT_LUT_STEP_4[tab4 & 15][br.read(tab4 >> 4)];
+        return qtab != 0 ? &QUANT_TAB[qtab - 1] : nullptr;
+    }
+
+    void read_samples(int ch, int sb, int part) {
+        auto q = allocation[ch][sb];
+        int sf = scale_factor[ch][sb][part];
+        int* s = sample[ch][sb];
+        if (q == nullptr) { s[0] = s[1] = s[2] = 0; return; }
+
+        if (sf == 63) {
+            sf = 0;
+        } else {
+            int shift = sf / 3;
+            sf = (SCALEFACTOR_BASE[sf % 3] + ((1 << shift) >> 1)) >> shift;
+        }
+
+        int levels = (*q)[0], group = (*q)[1], bits = (*q)[2];
+        int adj = levels;
+        if (group != 0) {
+            int val = br.read(bits);
+            s[0] = val % adj;
+            val /= adj;
+            s[1] = val % adj;
+            s[2] = val / adj;
+        } else {
+            s[0] = br.read(bits);
+            s[1] = br.read(bits);
+            s[2] = br.read(bits);
+        }
+
+        int scale = 65536 / (adj + 1);
+        adj = ((adj + 1) >> 1) - 1;
+        for (int i = 0; i < 3; i++) {
+            int val = (adj - s[i]) * scale;
+            s[i] = (val * (sf >> 12) + ((val * (sf & 4095) + 2048) >> 12)) >> 12;
+        }
+    }
+
+    // Parse one frame's payload into out[36][2][32] int32.
+    void parse_frame(int32_t* out) {
+        int tab1 = (mode == 0x3) ? 0 : 1;
+        int tab2 = QUANT_LUT_STEP_1[tab1][bitrate_index];
+        int tab3 = QUANT_LUT_STEP_2[tab2][samplerate_index];
+        int sblimit = tab3 & 63;
+        tab3 >>= 6;
+
+        if (bound > sblimit) bound = sblimit;
+
+        for (int sb = 0; sb < bound; sb++) {
+            allocation[0][sb] = read_allocation(sb, tab3);
+            allocation[1][sb] = read_allocation(sb, tab3);
+        }
+        for (int sb = bound; sb < sblimit; sb++) {
+            allocation[0][sb] = read_allocation(sb, tab3);
+            allocation[1][sb] = allocation[0][sb];
+        }
+
+        int nch = (mode == 0x3) ? 1 : 2;
+        for (int sb = 0; sb < sblimit; sb++) {
+            for (int ch = 0; ch < nch; ch++)
+                if (allocation[ch][sb]) scale_factor_info[ch][sb] = br.read(2);
+            if (mode == 0x3) scale_factor_info[1][sb] = scale_factor_info[0][sb];
+        }
+
+        for (int sb = 0; sb < sblimit; sb++) {
+            for (int ch = 0; ch < nch; ch++) {
+                if (allocation[ch][sb]) {
+                    int* sf = scale_factor[ch][sb];
+                    switch (scale_factor_info[ch][sb]) {
+                        case 0:
+                            sf[0] = br.read(6); sf[1] = br.read(6); sf[2] = br.read(6);
+                            break;
+                        case 1:
+                            sf[0] = sf[1] = br.read(6); sf[2] = br.read(6);
+                            break;
+                        case 2:
+                            sf[0] = sf[1] = sf[2] = br.read(6);
+                            break;
+                        default:
+                            sf[0] = br.read(6); sf[1] = sf[2] = br.read(6);
+                            break;
+                    }
+                }
+            }
+            if (mode == 0x3)
+                for (int i = 0; i < 3; i++)
+                    scale_factor[1][sb][i] = scale_factor[0][sb][i];
+        }
+
+        int step = 0;
+        for (int part = 0; part < 3; part++) {
+            for (int granule = 0; granule < 4; granule++) {
+                for (int sb = 0; sb < bound; sb++) {
+                    read_samples(0, sb, part);
+                    read_samples(1, sb, part);
+                }
+                for (int sb = bound; sb < sblimit; sb++) {
+                    read_samples(0, sb, part);
+                    for (int i = 0; i < 3; i++)
+                        sample[1][sb][i] = sample[0][sb][i];
+                }
+                for (int sb = sblimit; sb < 32; sb++)
+                    for (int i = 0; i < 3; i++)
+                        sample[0][sb][i] = sample[1][sb][i] = 0;
+
+                for (int p = 0; p < 3; p++) {
+                    for (int ch = 0; ch < 2; ch++)
+                        for (int sb = 0; sb < 32; sb++)
+                            out[((int64_t)step * 2 + ch) * 32 + sb] =
+                                sample[ch][sb][p];
+                    step++;
+                }
+            }
+        }
+        br.align();
+    }
+
+    // Returns 1 when a frame was parsed into out, 0 otherwise.
+    int parse(int32_t* out) {
+        sync();
+        if (next_frame_size == 0) next_frame_size = decode_header();
+        if (next_frame_size == 0 || !br.has((int64_t)next_frame_size << 3))
+            return 0;
+        compact();
+        parse_frame(out);
+        next_frame_size = 0;
+        return 1;
+    }
+};
+
 }   // namespace
 
 // ---------------------------------------------------------------------------
@@ -650,6 +878,54 @@ int vp_parse_picture(void* p, int32_t* coeffs, int32_t* nblocks,
     v->mv_v = mv_v;
     try {
         return v->parse_picture();
+    } catch (const Truncated&) {
+        return 0;
+    } catch (const CorruptStream&) {
+        return 0;
+    }
+}
+
+// -- audio --
+
+void* ap_create() { return new AudioParser(); }
+void ap_destroy(void* p) { delete (AudioParser*)p; }
+
+void ap_feed(void* p, const uint8_t* data, int64_t n) {
+    auto* a = (AudioParser*)p;
+    a->buf.insert(a->buf.end(), data, data + n);
+    a->sync();
+}
+
+void ap_signal_end(void* p) { ((AudioParser*)p)->ended = true; }
+
+int ap_has_header(void* p) {
+    auto* a = (AudioParser*)p;
+    a->sync();
+    if (a->has_header_flag) return 1;
+    if (a->next_frame_size == 0) {
+        int64_t save = a->br.bit;
+        try {
+            a->next_frame_size = a->decode_header();
+        } catch (const Truncated&) {
+            a->br.bit = save;
+            return 0;
+        }
+    }
+    return a->has_header_flag ? 1 : 0;
+}
+
+int ap_samplerate(void* p) {
+    auto* a = (AudioParser*)p;
+    return a->has_header_flag ? SAMPLE_RATE[a->samplerate_index] : 0;
+}
+
+int ap_channels(void* p) { return ((AudioParser*)p)->channels; }
+
+// out: int32[36*2*32]; returns 1 on success, 0 when more data is needed.
+int ap_parse_frame(void* p, int32_t* out) {
+    auto* a = (AudioParser*)p;
+    try {
+        return a->parse(out);
     } catch (const Truncated&) {
         return 0;
     } catch (const CorruptStream&) {

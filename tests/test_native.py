@@ -87,3 +87,51 @@ def test_native_blob_golden(mpeg1video_path):
             frames += 1
     assert frames == 260
     assert h.sum64() == 0xEA6D7FCB1340BA3F, f"{h.sum64():#018x}"
+
+
+def test_native_audio_matches_python(mp2_path):
+    """Native MP2 parse must emit identical subband samples."""
+    data = open(mp2_path, "rb").read()
+    nat = native.NativeAudioParser(data)
+    assert nat.has_header()
+    assert nat.samplerate == 44100
+    assert nat.channels == 1
+
+    buf = mpeg.Buffer(open(mp2_path, "rb"))
+    buf.set_load_callback(buf.load_reader_callback)
+    py = mpeg.Audio(buf, backend="numpy")
+    assert py.has_header()
+
+    n = 0
+    while True:
+        a = nat.parse_next_frame()
+        # drive the python parser one frame
+        if py.next_frame_data_size == 0:
+            py.next_frame_data_size = py._decode_header()
+        if py.next_frame_data_size == 0 or \
+                not py.buf.has(py.next_frame_data_size << 3):
+            b = None
+        else:
+            b = py._parse_frame()
+            py.next_frame_data_size = 0
+        assert (a is None) == (b is None), f"frame {n} presence differs"
+        if a is None:
+            break
+        assert np.array_equal(a, b), f"frame {n} samples differ"
+        n += 1
+    assert n == 355
+
+
+def test_batch_audio_golden(mp2_path):
+    """Native parse + batched filterbank reproduces the audio golden hash."""
+    from mpeg_tpu.parallel import BatchAudioDecoder
+    from mpeg_tpu.utils import Fnv1a64
+    from tests.test_audio import GOLDEN_AUDIO_HASHES
+
+    dec = BatchAudioDecoder(open(mp2_path, "rb").read(), window=64)
+    assert dec.samplerate == 44100
+    pcm = dec.decode_all()
+    assert pcm.size == 355 * 2304
+    h = Fnv1a64()
+    h.write(pcm.astype("<f4").tobytes())
+    assert h.sum64() in GOLDEN_AUDIO_HASHES, f"{h.sum64():#018x}"
