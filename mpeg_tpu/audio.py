@@ -150,6 +150,33 @@ class Audio:
     def has_ended(self) -> bool:
         return self.buf.has_ended()
 
+    # -- checkpoint / resume (SURVEY §5: V ring buffers + clocks) ----------
+
+    def get_state(self) -> dict:
+        v = np.asarray(self._v_dev) if self._v_dev is not None else self.v
+        v_pos = int(self._v_pos_dev) if self._v_pos_dev is not None \
+            else self.v_pos
+        return {
+            "v": np.asarray(v).copy(),
+            "v_pos": v_pos,
+            "time": self.time,
+            "samples_decoded": self.samples_decoded,
+            "buf_tell": self.buf.tell() if self.buf.seekable() else None,
+        }
+
+    def set_state(self, state: dict) -> None:
+        self.v = state["v"].copy()
+        self.v_pos = state["v_pos"]
+        if self._v_dev is not None:
+            import jax.numpy as jnp
+            self._v_dev = jnp.asarray(state["v"])
+            self._v_pos_dev = jnp.int32(state["v_pos"])
+        self.time = state["time"]
+        self.samples_decoded = state["samples_decoded"]
+        self.next_frame_data_size = 0
+        if state["buf_tell"] is not None and self.buf.seekable():
+            self.buf.seek(state["buf_tell"])
+
     def decode(self) -> Optional[Samples]:
         """Decode one frame (1152 samples); None if not enough data."""
         if self.next_frame_data_size == 0:

@@ -218,6 +218,43 @@ class Video:
     def has_ended(self) -> bool:
         return self.buf.has_ended()
 
+    # -- checkpoint / resume (SURVEY §5: decoder state is an explicit
+    # pytree — reference frames, clocks, stream position) ------------------
+
+    def get_state(self) -> dict:
+        """Snapshot the decode state (frames, clocks, stream position).
+
+        The buffer position is included only for seekable sources; for
+        push-fed buffers pair restore with your own re-feed.
+        """
+        return {
+            "frames": [np.asarray(f.flat).copy() for f in
+                       (self.frame_current, self.frame_forward,
+                        self.frame_backward)],
+            "time": self.time,
+            "frames_decoded": self.frames_decoded,
+            "has_reference_frame": self.has_reference_frame,
+            "picture_type": self.picture_type,
+            "start_code": self.start_code,
+            "buf_tell": self.buf.tell() if self.buf.seekable() else None,
+        }
+
+    def set_state(self, state: dict) -> None:
+        for frame, flat in zip((self.frame_current, self.frame_forward,
+                                self.frame_backward), state["frames"]):
+            if self.backend in ("numpy", "plan"):
+                frame.flat = flat.copy()
+            else:
+                import jax.numpy as jnp
+                frame.flat = jnp.asarray(flat)
+        self.time = state["time"]
+        self.frames_decoded = state["frames_decoded"]
+        self.has_reference_frame = state["has_reference_frame"]
+        self.picture_type = state["picture_type"]
+        self.start_code = state["start_code"]
+        if state["buf_tell"] is not None and self.buf.seekable():
+            self.buf.seek(state["buf_tell"])
+
     def decode(self) -> Optional[Frame]:
         """Decode one frame and advance time by 1/framerate
         (parity: video.go:209-268)."""
