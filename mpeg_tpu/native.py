@@ -72,6 +72,11 @@ def load() -> ctypes.CDLL:
                                  p_i64, ctypes.c_int]
     lib.vp_blob_emit.restype = ctypes.c_int64
 
+    lib.vp_total_size.argtypes = [ctypes.c_void_p]
+    lib.vp_total_size.restype = ctypes.c_int64
+    lib.vp_host_decode.argtypes = [ctypes.c_void_p, p_u8]
+    lib.vp_host_decode.restype = ctypes.c_int
+
     lib.ap_create.restype = ctypes.c_void_p
     lib.ap_destroy.argtypes = [ctypes.c_void_p]
     lib.ap_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
@@ -179,6 +184,22 @@ class NativeVideoParser:
         bid_bytes = 2 if geom.mb_size * 6 <= 0xFFFF else 4
         return int(self._lib.vp_blob_emit(self._h, row, k, offsets,
                                           bid_bytes))
+
+
+class NativeHostDecoder(NativeVideoParser):
+    """Full host-only (CPU) video decode — the C++ fallback path.
+
+    Same plan semantics as the device path, reconstructed natively;
+    yields flat shared-layout frame buffers in display order.
+    """
+
+    def decode_next(self) -> Optional[np.ndarray]:
+        if not self.has_header():
+            return None
+        out = np.zeros(int(self._lib.vp_total_size(self._h)), np.uint8)
+        if self._lib.vp_host_decode(self._h, out):
+            return out
+        return None
 
 
 class NativeAudioParser:

@@ -129,6 +129,97 @@ struct BitReader {
 };
 
 // ---------------------------------------------------------------------------
+// Host-only reconstruction (the C++ CPU fallback, SURVEY §2b N6/N7):
+// consumes the same picture plans as the device path and produces frames
+// entirely on the CPU.  Integer semantics identical to the device kernels
+// (IDCT variants, MPEG rounding MC, clamped stores).
+// ---------------------------------------------------------------------------
+
+static inline uint8_t clamp255(int v) {
+    return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+// One 8-point pass of the integer IDCT butterfly (video.go:801-928).
+static inline void idct_pass(const int32_t* in, int stride, int32_t* out,
+                             int out_stride, bool sparse, bool final_shift) {
+    int32_t b1, b3, b4, tmp1, tmp2, b6, m0, x2;
+    if (sparse) {
+        b1 = 0;
+        b3 = in[2 * stride];
+        b4 = -in[3 * stride];
+        tmp1 = in[1 * stride];
+        tmp2 = in[3 * stride];
+        b6 = in[1 * stride];
+        x2 = ((in[2 * stride] * 362 + 128) >> 8) - b3;
+    } else {
+        b1 = in[4 * stride];
+        b3 = in[2 * stride] + in[6 * stride];
+        b4 = in[5 * stride] - in[3 * stride];
+        tmp1 = in[1 * stride] + in[7 * stride];
+        tmp2 = in[3 * stride] + in[5 * stride];
+        b6 = in[1 * stride] - in[7 * stride];
+        x2 = (((in[2 * stride] - in[6 * stride]) * 362 + 128) >> 8) - b3;
+    }
+    m0 = in[0];
+    int32_t b7 = tmp1 + tmp2;
+    int32_t x4 = ((b6 * 473 - b4 * 196 + 128) >> 8) - b7;
+    int32_t x0 = x4 - (((tmp1 - tmp2) * 362 + 128) >> 8);
+    int32_t x1 = m0 - b1;
+    int32_t x3 = m0 + b1;
+    int32_t y3 = x1 + x2, y4 = x3 + b3, y5 = x1 - x2, y6 = x3 - b3;
+    int32_t y7 = -x0 - ((b4 * 473 + b6 * 196 + 128) >> 8);
+    int32_t o[8] = {b7 + y4, x4 + y3, y5 - x0, y6 - y7,
+                    y6 + y7, x0 + y5, y3 - x4, y4 - b7};
+    for (int i = 0; i < 8; i++)
+        out[i * out_stride] = final_shift ? (o[i] + 128) >> 8 : o[i];
+}
+
+// In-place 2-D IDCT with exact variant selection by n.
+static void idct_block(int32_t* blk, int n, int32_t* out) {
+    if (n == 1) {
+        int32_t v = (blk[0] + 128) >> 8;
+        for (int i = 0; i < 64; i++) out[i] = v;
+        return;
+    }
+    bool sparse = n < 10;
+    int ncols = sparse ? 4 : 8;
+    int32_t mid[64] = {0};
+    for (int c = 0; c < ncols; c++)
+        idct_pass(blk + c, 8, mid + c, 8, sparse, false);
+    for (int r = 0; r < 8; r++)
+        idct_pass(mid + r * 8, 1, out + r * 8, 1, sparse, true);
+}
+
+static inline int trunc_div2(int v) { return v / 2; }   // C++ truncates
+
+// Motion-compensate one plane block over flat frame buffers
+// (semantics: video_noasm.go:28-80, flat shared-buffer addressing).
+static void mc_block(const uint8_t* src, uint8_t* dst, int64_t base,
+                     int stride, int64_t si, int64_t di, int size,
+                     bool odd_h, bool odd_v) {
+    src += base;
+    dst += base;
+    for (int r = 0; r < size; r++) {
+        const uint8_t* s0 = src + si + (int64_t)r * stride;
+        const uint8_t* s1 = s0 + stride;
+        uint8_t* d = dst + di + (int64_t)r * stride;
+        if (!odd_h && !odd_v) {
+            std::memcpy(d, s0, size);
+        } else if (odd_h && !odd_v) {
+            for (int x = 0; x < size; x++)
+                d[x] = (uint8_t)((s0[x] + s0[x + 1] + 1) >> 1);
+        } else if (!odd_h && odd_v) {
+            for (int x = 0; x < size; x++)
+                d[x] = (uint8_t)((s0[x] + s1[x] + 1) >> 1);
+        } else {
+            for (int x = 0; x < size; x++)
+                d[x] = (uint8_t)((s0[x] + s0[x + 1] + s1[x] + s1[x + 1] + 2)
+                                 >> 2);
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Parser state (mirrors mpeg_tpu/video.py field-for-field)
 // ---------------------------------------------------------------------------
 struct Motion {
@@ -187,6 +278,13 @@ struct VideoParser {
             dirty_mbs.push_back(mb);
         }
     }
+
+    // -- host-only decode state (C++ CPU fallback) --
+    std::vector<uint8_t> host_frames[3];
+    int hf_cur = 0, hf_fwd = 1, hf_bwd = 2;
+    bool host_has_ref = false;
+    int host_last_type = 0;
+    bool host_flushed = false;
 
     void ensure_own_plan() {
         if ((int)own_sel.size() != mb_size) {
@@ -493,6 +591,164 @@ struct VideoParser {
             start_code = br.next_start_code();
         }
         return true;
+    }
+
+    // -- host-only reconstruction over the internal plan --
+
+    int64_t luma_w() const { return (int64_t)mb_width << 4; }
+    int64_t total_size() const {
+        int64_t lw = luma_w(), lh = (int64_t)mb_height << 4;
+        return lw * lh + 2 * (lw / 2) * (lh / 2) + lw * 16;
+    }
+
+    void ensure_host_frames() {
+        if (host_frames[0].empty())
+            for (auto& f : host_frames) f.assign(total_size(), 0);
+    }
+
+    void host_reconstruct() {
+        const int64_t lw = luma_w(), lh = (int64_t)mb_height << 4;
+        const int64_t cw = lw / 2;
+        const int64_t luma_size = lw * lh, chroma_size = cw * (lh / 2);
+        const int64_t total = total_size();
+        const bool is_ref = picture_type == PIC_I || picture_type == PIC_P;
+
+        uint8_t* cur = host_frames[hf_cur].data();
+        // Reference pictures alias forward=backward before the slices.
+        const uint8_t* fwd =
+            host_frames[is_ref ? hf_bwd : hf_fwd].data();
+        const uint8_t* bwd = host_frames[hf_bwd].data();
+
+        for (int mb : dirty_mbs) {
+            int mb_r = mb / mb_width, mb_c = mb % mb_width;
+            int sel = own_sel[mb];
+            if (sel > 0) {
+                const uint8_t* src = sel == 2 ? bwd : fwd;
+                int mh = own_mvh[mb], mv = own_mvv[mb];
+                int hp = mh >> 1, vp = mv >> 1;
+                int64_t lsi = ((int64_t)(mb_r << 4) + vp) * lw +
+                    (mb_c << 4) + hp;
+                int64_t ldi = (int64_t)(mb_r << 4) * lw + (mb_c << 4);
+                if (lsi >= 0 && lsi + 16 * lw + 17 <= total)
+                    mc_block(src, cur, 0, (int)lw, lsi, ldi, 16,
+                             mh & 1, mv & 1);
+                int cm_h = trunc_div2(mh), cm_v = trunc_div2(mv);
+                int chp = cm_h >> 1, cvp = cm_v >> 1;
+                int64_t csi = ((int64_t)(mb_r << 3) + cvp) * cw +
+                    (mb_c << 3) + chp;
+                int64_t cdi = (int64_t)(mb_r << 3) * cw + (mb_c << 3);
+                if (csi >= 0 &&
+                    luma_size + chroma_size + csi + 8 * cw + 9 <= total) {
+                    mc_block(src, cur, luma_size, (int)cw, csi, cdi, 8,
+                             cm_h & 1, cm_v & 1);
+                    mc_block(src, cur, luma_size + chroma_size, (int)cw,
+                             csi, cdi, 8, cm_h & 1, cm_v & 1);
+                }
+            }
+
+            for (int b = 0; b < 6; b++) {
+                int n = own_nblocks[mb * 6 + b];
+                if (n == 0) continue;
+                int32_t out[64];
+                idct_block(own_coeffs.data() + ((int64_t)mb * 6 + b) * 64,
+                           n, out);
+
+                uint8_t* d;
+                int64_t di;
+                int scan;
+                if (b < 4) {
+                    d = cur;
+                    di = ((int64_t)mb_r * lw + mb_c) << 4;
+                    scan = (int)lw - 8;
+                    if (b & 1) di += 8;
+                    if (b & 2) di += lw << 3;
+                } else {
+                    d = cur + luma_size + (b == 5 ? chroma_size : 0);
+                    di = (((int64_t)mb_r * lw) << 2) + (mb_c << 3);
+                    scan = (int)(lw >> 1) - 8;
+                }
+                bool intra = own_intra[mb * 6 + b] != 0;
+                for (int r = 0; r < 8; r++) {
+                    for (int x = 0; x < 8; x++) {
+                        int v = out[r * 8 + x];
+                        d[di + x] = intra ? clamp255(v)
+                            : clamp255((int)d[di + x] + v);
+                    }
+                    di += scan + 8;
+                }
+            }
+
+            // clear the plan entry (consumed)
+            std::memset(own_coeffs.data() + (int64_t)mb * 6 * 64, 0,
+                        6 * 64 * sizeof(int32_t));
+            std::memset(own_nblocks.data() + mb * 6, 0, 6 * sizeof(int32_t));
+            std::memset(own_intra.data() + mb * 6, 0, 6 * sizeof(int32_t));
+            own_sel[mb] = 0;
+            own_mvh[mb] = 0;
+            own_mvv[mb] = 0;
+        }
+        dirty_mbs.clear();
+        generation++;
+    }
+
+    // Host decode loop: parse + reconstruct until a display frame is due.
+    // Returns 1 with the frame copied into `out`, 0 at end of data.
+    int host_decode(uint8_t* out) {
+        sync();
+        if (!has_header()) return 0;
+        ensure_host_frames();
+        ensure_own_plan();
+        coeffs = own_coeffs.data();
+        nblocks = own_nblocks.data();
+        intra_blk = own_intra.data();
+        src_sel = own_sel.data();
+        mv_h = own_mvh.data();
+        mv_v = own_mvv.data();
+
+        for (;;) {
+            int ptype;
+            try {
+                ptype = parse_picture();
+            } catch (const Truncated&) {
+                ptype = 0;
+            } catch (const CorruptStream&) {
+                ptype = 0;
+            }
+            if (ptype == 0) {
+                // EOF flush of the pending reference frame.
+                if (host_has_ref && ended && !host_flushed &&
+                    host_last_type != PIC_B) {
+                    host_flushed = true;
+                    host_has_ref = false;
+                    std::memcpy(out, host_frames[hf_bwd].data(),
+                                total_size());
+                    return 1;
+                }
+                return 0;
+            }
+
+            host_reconstruct();
+            host_last_type = ptype;
+            bool is_ref = ptype == PIC_I || ptype == PIC_P;
+            int disp = is_ref ? hf_bwd : hf_cur;   // pre-rotation backward
+            if (is_ref) {
+                int new_bwd = hf_cur, new_cur = hf_fwd, new_fwd = hf_bwd;
+                hf_cur = new_cur;
+                hf_fwd = new_fwd;
+                hf_bwd = new_bwd;
+                // display = OLD backward = current hf_fwd after rotation
+                disp = hf_fwd;
+            }
+            if (ptype == PIC_B) {
+                std::memcpy(out, host_frames[hf_cur].data(), total_size());
+                return 1;
+            }
+            if (host_has_ref) {
+                std::memcpy(out, host_frames[disp].data(), total_size());
+                return 1;
+            }
+            host_has_ref = true;
+        }
     }
 
     // parse_next_plan equivalent: returns picture_type >= 1 when a plan
@@ -883,6 +1139,14 @@ int vp_parse_picture(void* p, int32_t* coeffs, int32_t* nblocks,
     } catch (const CorruptStream&) {
         return 0;
     }
+}
+
+// Host-only decode (C++ CPU fallback): decodes the next display frame
+// into out (flat shared-layout buffer of vp_total_size bytes).
+int64_t vp_total_size(void* p) { return ((VideoParser*)p)->total_size(); }
+
+int vp_host_decode(void* p, uint8_t* out) {
+    return ((VideoParser*)p)->host_decode(out);
 }
 
 // -- audio --

@@ -135,3 +135,21 @@ def test_batch_audio_golden(mp2_path):
     h = Fnv1a64()
     h.write(pcm.astype("<f4").tobytes())
     assert h.sum64() in GOLDEN_AUDIO_HASHES, f"{h.sum64():#018x}"
+
+
+def test_native_host_decode_golden(mpeg1video_path):
+    """The C++ host-only decoder reproduces the video golden hash."""
+    from mpeg_tpu.utils import Fnv1a64
+    from mpeg_tpu.ops.video_recon import FrameGeometry
+
+    dec = native.NativeHostDecoder(open(mpeg1video_path, "rb").read())
+    assert dec.has_header()
+    geom = FrameGeometry.for_size(dec.width, dec.height)
+
+    h = Fnv1a64()
+    frames = 0
+    while (flat := dec.decode_next()) is not None:
+        h.write(flat[:geom.frame_size].tobytes())
+        frames += 1
+    assert frames == 260
+    assert h.sum64() == 0xEA6D7FCB1340BA3F, f"{h.sum64():#018x}"
