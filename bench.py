@@ -243,6 +243,31 @@ def main():
     jax.block_until_ready(disps)
     dev_fps = frames / (time.time() - t0)
     log(f"device-only: {dev_fps:.1f} fps")
+
+    # Secondary metrics ----------------------------------------------------
+    # C++ host-only decoder (CPU fallback path) on the same fixture.
+    t0 = time.time()
+    hd = native.NativeHostDecoder(data)
+    n = 0
+    while hd.decode_next() is not None:
+        n += 1
+    log(f"C++ host-only decode: {n / (time.time() - t0):.1f} fps "
+        f"(single core)")
+
+    # MP2 audio: Msamples/s through native parse + batched filterbank.
+    from mpeg_tpu.parallel import BatchAudioDecoder
+    adata = open(os.path.join(REPO, "tests", "testdata", "test.mp2"),
+                 "rb").read()
+    BatchAudioDecoder(adata, window=64).decode_window()   # compile
+    dec = BatchAudioDecoder(adata, window=64)
+    t0 = time.time()
+    total = 0
+    while (pcm := dec.decode_window()) is not None:
+        total += pcm.size // 2   # per-channel samples
+    a_dt = time.time() - t0
+    log(f"MP2 audio: {total} samples in {a_dt:.2f}s -> "
+        f"{total / a_dt / 1e6:.2f} Msamples/s")
+
     log(f"total bench wall: {time.time()-t_start:.1f}s")
 
     print(json.dumps({

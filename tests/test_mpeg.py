@@ -132,3 +132,13 @@ def test_loop_and_done(mpg_path):
             seen += 1
         assert not m2.has_ended()
     assert seen > first_n   # wrapped around
+
+
+def test_mpeg_jax_backend_smoke(mpg_path):
+    """High-level API on the jax backend: a few frames of synced decode."""
+    m = new_mpeg(mpg_path, backend="jax")
+    assert m.has_headers()
+    f = m.decode_video()
+    assert f is not None and f.y.size == 20480
+    s = m.decode_audio()
+    assert s is not None and s.interleaved.size == 2304
