@@ -82,8 +82,16 @@ class Samples:
 class Audio:
     """MP2 decoder: pulls an elementary stream from `buf`, yields Samples."""
 
-    def __init__(self, buf: Buffer, backend: str = "jax"):
+    def __init__(self, buf: Buffer, backend: str = "jax",
+                 parser: str = "auto"):
+        """`parser`: "python", "native" (C++) or "auto" (native when
+        available)."""
         self.buf = buf
+        if parser == "auto":
+            from . import native as native_mod
+            parser = "native" if native_mod.available() else "python"
+        self.parser = parser
+        self._native = None
         self.time = 0.0
         self.samples_decoded = 0
         self.samplerate_index = 3   # "0" sentinel (audio.go:87)
@@ -115,7 +123,62 @@ class Audio:
         self._v_pos_dev = None
 
         # Attempt to decode the first header.
-        self.next_frame_data_size = self._decode_header()
+        if self.parser == "native":
+            self._native_has_header()
+        else:
+            self.next_frame_data_size = self._decode_header()
+
+    # -- native-parser plumbing ----------------------------------------------
+
+    def _native_feed(self) -> bool:
+        if self._native is None:
+            from . import native as native_mod
+            self._native = native_mod.NativeAudioParser()
+        data = self.buf.data
+        if not data:
+            return False
+        self._native.feed(bytes(data))
+        del data[:]
+        self.buf.bit_index = 0
+        return True
+
+    def _native_ended(self) -> bool:
+        return self.buf.has_ended() or self.buf.end_signaled
+
+    def _native_sync_header(self) -> None:
+        if self._native.has_header():
+            self.has_header_flag = True
+            sr = self._native.samplerate
+            self.samplerate_index = T.SAMPLE_RATE.index(sr)
+            self.channels = self._native.channels
+
+    def _native_has_header(self) -> bool:
+        self._native_feed()
+        self._native_sync_header()
+        if not self.has_header_flag and self.buf.load_callback is not None:
+            self.buf.load_callback(self.buf)
+            self._native_feed()
+            self._native_sync_header()
+        return self.has_header_flag
+
+    def _native_next_frame(self):
+        """Pull the next subband-sample tensor, refilling via the load
+        callback exactly like the reference's pull model."""
+        while True:
+            self._native_feed()
+            out = self._native.parse_next_frame()
+            if out is not None:
+                self._native_sync_header()
+                return out
+            before = len(self.buf.data)
+            if self.buf.load_callback is not None:
+                self.buf.load_callback(self.buf)
+            if len(self.buf.data) == before:
+                if self._native_ended():
+                    self._native.signal_end()
+                    self._native_feed()
+                    return self._native.parse_next_frame()
+                return None
 
     # -- public surface (parity: audio.go:106-182) ---------------------------
 
@@ -125,6 +188,8 @@ class Audio:
     def has_header(self) -> bool:
         if self.has_header_flag:
             return True
+        if self.parser == "native":
+            return self._native_has_header()
         self.next_frame_data_size = self._decode_header()
         return self.has_header_flag
 
@@ -146,6 +211,8 @@ class Audio:
         self.time = 0.0
         self.samples_decoded = 0
         self.next_frame_data_size = 0
+        if self.parser == "native" and self._native is not None:
+            self._native.rewind()
 
     def has_ended(self) -> bool:
         return self.buf.has_ended()
@@ -161,8 +228,14 @@ class Audio:
             "v_pos": v_pos,
             "time": self.time,
             "samples_decoded": self.samples_decoded,
-            "buf_tell": self.buf.tell() if self.buf.seekable() else None,
+            "buf_tell": self._stream_pos() if self.buf.seekable() else None,
         }
+
+    def _stream_pos(self) -> int:
+        pos = self.buf.tell()
+        if self.parser == "native" and self._native is not None:
+            pos -= self._native.unconsumed()
+        return pos
 
     def set_state(self, state: dict) -> None:
         self.v = state["v"].copy()
@@ -175,18 +248,26 @@ class Audio:
         self.samples_decoded = state["samples_decoded"]
         self.next_frame_data_size = 0
         if state["buf_tell"] is not None and self.buf.seekable():
+            if self.parser == "native" and self._native is not None:
+                self._native.rewind()
             self.buf.seek(state["buf_tell"])
 
     def decode(self) -> Optional[Samples]:
         """Decode one frame (1152 samples); None if not enough data."""
-        if self.next_frame_data_size == 0:
-            self.next_frame_data_size = self._decode_header()
-        if self.next_frame_data_size == 0 or \
-                not self.buf.has(self.next_frame_data_size << 3):
-            return None
-
-        samples_int = self._parse_frame()
-        self.next_frame_data_size = 0
+        if self.parser == "native":
+            if not self.has_header():
+                return None
+            samples_int = self._native_next_frame()
+            if samples_int is None:
+                return None
+        else:
+            if self.next_frame_data_size == 0:
+                self.next_frame_data_size = self._decode_header()
+            if self.next_frame_data_size == 0 or \
+                    not self.buf.has(self.next_frame_data_size << 3):
+                return None
+            samples_int = self._parse_frame()
+            self.next_frame_data_size = 0
 
         self._synthesize(samples_int)
 

@@ -33,6 +33,7 @@ class Buffer:
         self.bit_index = 0
         self.total_size = 0
         self._has_ended = False
+        self.end_signaled = False
         self.discard_read = True
         self.load_callback: Optional[Callable[["Buffer"], None]] = None
 
@@ -58,10 +59,12 @@ class Buffer:
             self.discard_read_bytes()
         self.data += p
         self._has_ended = False
+        self.end_signaled = False
         return len(p)
 
     def signal_end(self) -> None:
         self.total_size = len(self.data)
+        self.end_signaled = True
 
     def set_load_callback(self, callback: Callable[["Buffer"], None]) -> None:
         self.load_callback = callback
@@ -92,6 +95,7 @@ class Buffer:
 
     def seek(self, pos: int) -> None:
         self._has_ended = False
+        self.end_signaled = False
         if self.reader is not None and self.total_size > 0:
             self.reader.seek(pos, io.SEEK_SET)
             del self.data[:]

@@ -72,6 +72,9 @@ def load() -> ctypes.CDLL:
                                  p_i64, ctypes.c_int]
     lib.vp_blob_emit.restype = ctypes.c_int64
 
+    lib.vp_rewind.argtypes = [ctypes.c_void_p]
+    lib.vp_unconsumed.argtypes = [ctypes.c_void_p]
+    lib.vp_unconsumed.restype = ctypes.c_int64
     lib.vp_total_size.argtypes = [ctypes.c_void_p]
     lib.vp_total_size.restype = ctypes.c_int64
     lib.vp_host_decode.argtypes = [ctypes.c_void_p, p_u8]
@@ -90,6 +93,9 @@ def load() -> ctypes.CDLL:
     lib.ap_channels.restype = ctypes.c_int
     lib.ap_parse_frame.argtypes = [ctypes.c_void_p, p_i32]
     lib.ap_parse_frame.restype = ctypes.c_int
+    lib.ap_rewind.argtypes = [ctypes.c_void_p]
+    lib.ap_unconsumed.argtypes = [ctypes.c_void_p]
+    lib.ap_unconsumed.restype = ctypes.c_int64
 
     _lib = lib
     return lib
@@ -127,6 +133,13 @@ class NativeVideoParser:
 
     def signal_end(self) -> None:
         self._lib.vp_signal_end(self._h)
+
+    def rewind(self) -> None:
+        """Clear stream state, keep the sequence header (video.go:195-201)."""
+        self._lib.vp_rewind(self._h)
+
+    def unconsumed(self) -> int:
+        return int(self._lib.vp_unconsumed(self._h))
 
     def has_header(self) -> bool:
         return bool(self._lib.vp_has_header(self._h))
@@ -234,6 +247,13 @@ class NativeAudioParser:
     @property
     def channels(self) -> int:
         return self._lib.ap_channels(self._h)
+
+    def rewind(self) -> None:
+        """Clear stream state, keep the header (audio.go:149-154)."""
+        self._lib.ap_rewind(self._h)
+
+    def unconsumed(self) -> int:
+        return int(self._lib.ap_unconsumed(self._h))
 
     def parse_next_frame(self) -> Optional[np.ndarray]:
         out = np.zeros((36, 2, 32), np.int32)

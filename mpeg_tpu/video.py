@@ -112,9 +112,23 @@ class _PicturePlan:
 class Video:
     """MPEG-1 video decoder: pulls an ES from `buf`, yields Frames."""
 
-    def __init__(self, buf: Buffer, backend: str = "jax"):
+    def __init__(self, buf: Buffer, backend: str = "jax",
+                 parser: str = "auto"):
+        """`backend`: "jax" (device reconstruct), "numpy" (host oracle) or
+        "plan" (parse only).  `parser`: "python", "native" (C++) or "auto"
+        (native when available, python otherwise).
+        """
         self.buf = buf
         self.backend = backend
+
+        if backend == "plan":
+            parser = "python"   # plan mode is the python-parse oracle path
+        elif parser == "auto":
+            from . import native as native_mod
+            parser = "native" if native_mod.available() else "python"
+        self.parser = parser
+        self._native = None        # lazy NativeVideoParser
+        self._native_fed = 0       # bytes of buf.data already fed
 
         self.aspect_ratio = 0.0
         self.frame_rate = 0.0
@@ -170,9 +184,65 @@ class Video:
         self._block_data = [0] * 64
 
         # Attempt to decode the sequence header.
-        self.start_code = self.buf.find_start_code(T.START_SEQUENCE)
-        if self.start_code != -1:
-            self._decode_sequence_header()
+        if self.parser == "native":
+            self._native_has_header()
+        else:
+            self.start_code = self.buf.find_start_code(T.START_SEQUENCE)
+            if self.start_code != -1:
+                self._decode_sequence_header()
+
+    # -- native-parser plumbing ----------------------------------------------
+
+    def _native_feed(self) -> bool:
+        """Move buffered bytes into the native parser; True if any moved."""
+        if self._native is None:
+            from . import native as native_mod
+            self._native = native_mod.NativeVideoParser()
+        data = self.buf.data
+        if not data:
+            return False
+        self._native.feed(bytes(data))
+        del data[:]
+        self.buf.bit_index = 0
+        return True
+
+    def _native_ended(self) -> bool:
+        return self.buf.has_ended() or self.buf.end_signaled
+
+    def _native_has_header(self) -> bool:
+        self._native_feed()
+        if not self._native.has_header():
+            # one refill attempt through the pull model
+            if self.buf.load_callback is not None:
+                self.buf.load_callback(self.buf)
+                self._native_feed()
+            if not self._native.has_header():
+                return False
+        if not self.has_sequence_header:
+            self.width = self._native.width
+            self.height = self._native.height
+            self.frame_rate = self._native.framerate
+            self._init_geometry()
+            self.has_sequence_header = True
+        return True
+
+    def _native_next_plan(self):
+        """Pull the next picture plan, refilling through the load callback
+        exactly like the reference's pull model."""
+        while True:
+            self._native_feed()
+            item = self._native.parse_next_plan()
+            if item is not None:
+                return item
+            before = len(self.buf.data)
+            if self.buf.load_callback is not None:
+                self.buf.load_callback(self.buf)
+            if len(self.buf.data) == before:
+                if self._native_ended():
+                    self._native.signal_end()
+                    self._native_feed()
+                    return self._native.parse_next_plan()
+                return None
 
     # -- public surface (parity: video.go:123-268) ---------------------------
 
@@ -182,6 +252,8 @@ class Video:
     def has_header(self) -> bool:
         if self.has_sequence_header:
             return True
+        if self.parser == "native":
+            return self._native_has_header()
         if self.start_code != T.START_SEQUENCE:
             self.start_code = self.buf.find_start_code(T.START_SEQUENCE)
         if self.start_code == -1:
@@ -214,6 +286,8 @@ class Video:
         self.frames_decoded = 0
         self.has_reference_frame = False
         self.start_code = -1
+        if self.parser == "native" and self._native is not None:
+            self._native.rewind()   # keep sequence state, clear stream
 
     def has_ended(self) -> bool:
         return self.buf.has_ended()
@@ -236,8 +310,14 @@ class Video:
             "has_reference_frame": self.has_reference_frame,
             "picture_type": self.picture_type,
             "start_code": self.start_code,
-            "buf_tell": self.buf.tell() if self.buf.seekable() else None,
+            "buf_tell": self._stream_pos() if self.buf.seekable() else None,
         }
+
+    def _stream_pos(self) -> int:
+        pos = self.buf.tell()
+        if self.parser == "native" and self._native is not None:
+            pos -= self._native.unconsumed()
+        return pos
 
     def set_state(self, state: dict) -> None:
         for frame, flat in zip((self.frame_current, self.frame_forward,
@@ -253,6 +333,8 @@ class Video:
         self.picture_type = state["picture_type"]
         self.start_code = state["start_code"]
         if state["buf_tell"] is not None and self.buf.seekable():
+            if self.parser == "native" and self._native is not None:
+                self._native.rewind()
             self.buf.seek(state["buf_tell"])
 
     def decode(self) -> Optional[Frame]:
@@ -260,6 +342,8 @@ class Video:
         (parity: video.go:209-268)."""
         if not self.has_header():
             return None
+        if self.parser == "native":
+            return self._decode_with_native()
 
         frame = None
         while True:
@@ -303,6 +387,50 @@ class Video:
         self.time = self.frames_decoded / self.frame_rate
         return frame
 
+    def _decode_with_native(self) -> Optional[Frame]:
+        """decode() with the C++ parser supplying picture plans; frame
+        rotation/selection semantics identical to the python path."""
+        is_ref_types = (T.PICTURE_TYPE_INTRA, T.PICTURE_TYPE_PREDICTIVE)
+        frame = None
+        while True:
+            item = self._native_next_plan()
+            if item is None:
+                if self.has_reference_frame and \
+                        not self.assume_no_b_frames and \
+                        self._native_ended() and \
+                        self.picture_type in is_ref_types:
+                    self.has_reference_frame = False
+                    frame = self.frame_backward
+                    break
+                return None
+
+            plan, ptype = item
+            self.picture_type = ptype
+            frame_temp = self.frame_forward
+            if ptype in is_ref_types:
+                self.frame_forward = self.frame_backward
+            self._plan = plan
+            self._reconstruct()
+            if ptype in is_ref_types:
+                self.frame_backward = self.frame_current
+                self.frame_current = frame_temp
+
+            if self.assume_no_b_frames:
+                frame = self.frame_backward
+            elif ptype == T.PICTURE_TYPE_B:
+                frame = self.frame_current
+            elif self.has_reference_frame:
+                frame = self.frame_forward
+            else:
+                self.has_reference_frame = True
+            if frame is not None:
+                break
+
+        frame.time = self.time
+        self.frames_decoded += 1
+        self.time = self.frames_decoded / self.frame_rate
+        return frame
+
     # -- sequence / picture / slice parse ------------------------------------
 
     def _decode_sequence_header(self) -> bool:
@@ -334,16 +462,17 @@ class Video:
         else:
             self.non_intra_quant_matrix = list(T.NON_INTRA_QUANT_MATRIX)
 
+        self._init_geometry()
+        self.has_sequence_header = True
+        return True
+
+    def _init_geometry(self) -> None:
         self.geom = FrameGeometry.for_size(self.width, self.height)
         if self.backend not in ("numpy", "plan"):
             self._recon_jax = make_reconstruct_jax(self.geom)
-
         self.frame_current = self._new_frame()
         self.frame_forward = self._new_frame()
         self.frame_backward = self._new_frame()
-
-        self.has_sequence_header = True
-        return True
 
     def _new_frame(self) -> Frame:
         frame = Frame(self.geom)

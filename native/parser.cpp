@@ -1012,10 +1012,32 @@ void vp_destroy(void* p) { delete (VideoParser*)p; }
 void vp_feed(void* p, const uint8_t* data, int64_t n) {
     auto* v = (VideoParser*)p;
     v->buf.insert(v->buf.end(), data, data + n);
+    v->ended = false;   // mirrors Buffer.Write clearing hasEnded
     v->sync();
 }
 
 void vp_signal_end(void* p) { ((VideoParser*)p)->ended = true; }
+
+// Rewind: clear the stream buffer/position but KEEP the sequence state
+// (dimensions, quant matrices) — parity with Video.Rewind
+// (video.go:195-201), which seeding a seek target depends on.
+// Bytes fed but not yet consumed by the parse position.
+int64_t vp_unconsumed(void* p) {
+    auto* v = (VideoParser*)p;
+    return v->br.size - (v->br.bit >> 3);
+}
+
+void vp_rewind(void* p) {
+    auto* v = (VideoParser*)p;
+    v->buf.clear();
+    v->br.bit = 0;
+    v->sync();
+    v->start_code = -1;
+    v->ended = false;
+    v->host_has_ref = false;
+    v->host_flushed = false;
+    v->last_ptype = 0;
+}
 
 int vp_has_header(void* p) {
     auto* v = (VideoParser*)p;
@@ -1157,10 +1179,27 @@ void ap_destroy(void* p) { delete (AudioParser*)p; }
 void ap_feed(void* p, const uint8_t* data, int64_t n) {
     auto* a = (AudioParser*)p;
     a->buf.insert(a->buf.end(), data, data + n);
+    a->ended = false;   // mirrors Buffer.Write clearing hasEnded
     a->sync();
 }
 
 void ap_signal_end(void* p) { ((AudioParser*)p)->ended = true; }
+
+// Rewind: clear the stream buffer/position, keep the header state
+// (parity with Audio.Rewind, audio.go:149-154).
+int64_t ap_unconsumed(void* p) {
+    auto* a = (AudioParser*)p;
+    return a->br.size - (a->br.bit >> 3);
+}
+
+void ap_rewind(void* p) {
+    auto* a = (AudioParser*)p;
+    a->buf.clear();
+    a->br.bit = 0;
+    a->sync();
+    a->ended = false;
+    a->next_frame_size = 0;
+}
 
 int ap_has_header(void* p) {
     auto* a = (AudioParser*)p;

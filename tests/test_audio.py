@@ -21,10 +21,10 @@ GOLDEN_AUDIO_HASHES = {
 }
 
 
-def new_audio(path, backend):
+def new_audio(path, backend, parser="auto"):
     buf = mpeg.Buffer(open(path, "rb"))
     buf.set_load_callback(buf.load_reader_callback)
-    return mpeg.Audio(buf, backend=backend)
+    return mpeg.Audio(buf, backend=backend, parser=parser)
 
 
 def test_audio_header(mp2_path):
@@ -49,9 +49,11 @@ def decode_all_interleaved(audio):
     return h.sum64(), frames
 
 
-@pytest.mark.parametrize("backend", ["numpy", "jax"])
-def test_audio_golden(mp2_path, backend):
-    audio = new_audio(mp2_path, backend)
+@pytest.mark.parametrize("backend,parser", [
+    ("numpy", "python"), ("numpy", "auto"), ("jax", "auto"),
+])
+def test_audio_golden(mp2_path, backend, parser):
+    audio = new_audio(mp2_path, backend, parser)
     digest, frames = decode_all_interleaved(audio)
     assert frames > 0
     assert digest in GOLDEN_AUDIO_HASHES, \

@@ -99,7 +99,7 @@ def test_native_audio_matches_python(mp2_path):
 
     buf = mpeg.Buffer(open(mp2_path, "rb"))
     buf.set_load_callback(buf.load_reader_callback)
-    py = mpeg.Audio(buf, backend="numpy")
+    py = mpeg.Audio(buf, backend="numpy", parser="python")
     assert py.has_header()
 
     n = 0

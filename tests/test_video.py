@@ -13,10 +13,10 @@ from mpeg_tpu.utils import Fnv1a64
 GOLDEN_VIDEO_HASH = 0xEA6D7FCB1340BA3F   # mpeg_test.go:227
 
 
-def new_video(path, backend):
+def new_video(path, backend, parser="auto"):
     buf = mpeg.Buffer(open(path, "rb"))
     buf.set_load_callback(buf.load_reader_callback)
-    return mpeg.Video(buf, backend=backend)
+    return mpeg.Video(buf, backend=backend, parser=parser)
 
 
 def test_video_header(mpeg1video_path):
@@ -47,9 +47,11 @@ def decode_all_hash(video, max_frames=10**9):
     return h.sum64(), frames
 
 
-@pytest.mark.parametrize("backend", ["numpy", "jax"])
-def test_video_golden(mpeg1video_path, backend):
-    video = new_video(mpeg1video_path, backend)
+@pytest.mark.parametrize("backend,parser", [
+    ("numpy", "python"), ("numpy", "auto"), ("jax", "auto"),
+])
+def test_video_golden(mpeg1video_path, backend, parser):
+    video = new_video(mpeg1video_path, backend, parser)
     digest, frames = decode_all_hash(video)
     assert frames > 0
     assert digest == GOLDEN_VIDEO_HASH, \
