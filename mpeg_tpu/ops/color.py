@@ -60,3 +60,15 @@ def make_ycbcr420_to_rgba_jax(width: int, height: int):
                                 width, height, jnp)
 
     return convert
+
+
+def flat_frame_to_rgba(flat, geom, xp):
+    """Shared-layout flat frame buffer -> [height, width, 4] RGBA."""
+    y = flat[:geom.luma_size].reshape(geom.luma_height, geom.luma_width)
+    cb0 = geom.luma_size
+    cr0 = geom.luma_size + geom.chroma_size
+    cb = flat[cb0:cb0 + geom.chroma_size].reshape(
+        geom.chroma_height, geom.chroma_width)
+    cr = flat[cr0:cr0 + geom.chroma_size].reshape(
+        geom.chroma_height, geom.chroma_width)
+    return ycbcr420_to_rgba(y, cb, cr, geom.width, geom.height, xp)

@@ -247,7 +247,7 @@ def unpack_plan_jax(plan, geom: FrameGeometry):
 
 
 def make_scan_decoder(geom: FrameGeometry, packed: bool = False,
-                      blob_k: int = 0):
+                      blob_k: int = 0, emit_rgba: bool = False):
     """Build the jitted scan: (carry, stacked plans) -> (carry, displays).
 
     carry = (current, forward, backward) flat uint8 frame buffers.
@@ -287,6 +287,10 @@ def make_scan_decoder(geom: FrameGeometry, packed: bool = False,
         new = jnp.where(run > 0, new, cur)
 
         disp = jnp.where(is_ref > 0, bwd, new)
+        if emit_rgba:
+            # Fused on-device YCbCr->RGB (exact Go image/color integers).
+            from ..ops.color import flat_frame_to_rgba
+            disp = flat_frame_to_rgba(disp, geom, jnp)
         ref = (is_ref > 0) & (run > 0)
         cur2 = jnp.where(ref, fwd, new)
         fwd2 = jnp.where(ref, bwd, fwd)
