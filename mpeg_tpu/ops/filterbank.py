@@ -18,6 +18,8 @@ oracle and the JAX/TPU path share one transcription.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 # The 32->64 matrixing butterfly constants, f32-rounded exactly as Go rounds
@@ -362,6 +364,7 @@ def _d_window_np():
 # JAX device path
 # --------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
 def make_synthesize_frame_jax():
     """Build the jitted per-frame synthesis: [36,2,32] i32 -> [36,2,32] f32.
 
@@ -412,7 +415,96 @@ def make_synthesize_frame_jax():
     return synthesize
 
 
-def make_synthesize_batch_jax():
+def _residue_taps():
+    """Tap tables for the parallel windowed MAC, per step-residue mod 16.
+
+    At step t the V ring holds the DCT blocks of steps t-15..t; the
+    two-pass window read (window_offsets) maps to 16 (d_slice,
+    blocks-ago j, offset-in-block) taps.  Both the taps AND their
+    accumulation ORDER depend on v_pos, which cycles with period 16 —
+    so steps are grouped by t mod 16 (assuming a v_pos of 0 at window
+    start), preserving the reference's float accumulation order exactly.
+    """
+    taps = []
+    for m in range(16):
+        v_pos = (-64 * (m + 1)) & 1023
+        lst = []
+        for d_idx, v_idx in window_offsets(v_pos):
+            r = (v_idx - v_pos) % 1024
+            j, off = divmod(r, 64)
+            assert off in (0, 32) and 0 <= j < 16
+            lst.append((d_idx, j, off))
+        taps.append(lst)
+    return taps
+
+
+def hist_from_v(v: np.ndarray, v_pos: int) -> np.ndarray:
+    """Extract the last-15-blocks history [15, 2, 64] from a V ring.
+
+    hist[j-1] is the block written j steps ago (j = 1..15), i.e. at ring
+    position (v_pos + 64*j) & 1023.
+    """
+    hist = np.zeros((15, 2, 64), v.dtype)
+    for j in range(1, 16):
+        p = (v_pos + 64 * j) & 1023
+        hist[j - 1] = v[:, p:p + 64]
+    return hist
+
+
+def v_from_hist(blocks: np.ndarray, v_pos: int) -> np.ndarray:
+    """Rebuild the V ring [2, 1024] from the last 16 blocks
+    (blocks[0] = newest, at v_pos)."""
+    v = np.zeros((blocks.shape[1], 1024), blocks.dtype)
+    for j in range(16):
+        p = (v_pos + 64 * j) & 1023
+        v[:, p:p + 64] = blocks[j]
+    return v
+
+
+@functools.lru_cache(maxsize=None)
+def make_synthesize_parallel_jax():
+    """Fully parallel window synthesis: no per-step scan.
+
+    samples: int32 [T, 2, 32] with T a multiple of 16 and the V write
+    position 0 at window entry (true for windows of 4n whole frames:
+    36 steps/frame, 4 frames = 144 steps = 9 ring periods);
+    hist: float32 [15, 2, 64] — the previous 15 DCT blocks (newest
+    first).  Returns (u [T, 2, 32], hist').
+
+    All T matrixing DCTs compute at once; the windowed MAC becomes 16
+    tap tables (one per step residue mod 16) of shifted strided block
+    slices, accumulated in the reference's exact tap order — bit-exact
+    vs the sequential scan.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    d_win = jnp.asarray(_d_window_np())
+    taps = _residue_taps()
+
+    @jax.jit
+    def synthesize(samples, hist):
+        t_len = samples.shape[0]
+        assert t_len % 16 == 0, "window must cover 4n whole frames"
+        n_grp = t_len // 16
+        blocks = dct32(samples, jnp)                    # [T, 2, 64]
+        # cat[15 + t] = block of step t; cat[15 + t - j] = t's j-ago block
+        cat = jnp.concatenate([hist[::-1], blocks])     # [T+15, 2, 64]
+
+        groups = []
+        for m in range(16):
+            u_m = jnp.zeros((n_grp, 2, 32), jnp.float32)
+            for d_idx, j, off in taps[m]:
+                start = 15 + m - j
+                blk = cat[start:start + t_len:16, :, off:off + 32]
+                u_m = u_m + d_win[d_idx:d_idx + 32][None, None, :] * blk
+            groups.append(u_m)
+        # interleave residue groups back into step order
+        u = jnp.stack(groups, axis=1).reshape(t_len, 2, 32)
+        new_hist = blocks[-1:-16:-1]                    # newest first
+        return u, new_hist
+
+    return synthesize
     """Batched synthesis: [F, 36, 2, 32] i32 -> [F, 36, 2, 32] f32.
 
     One dispatch for F frames (a (F*36)-step scan carrying the V rings) —

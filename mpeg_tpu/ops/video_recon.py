@@ -34,6 +34,7 @@ Runs under numpy (oracle) and jax.numpy (TPU) via the `xp` parameter.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -384,6 +385,7 @@ def reconstruct_picture(cur_flat, fwd_flat, bwd_flat,
         out_y.reshape(-1), out_cb.reshape(-1), out_cr.reshape(-1), pad])
 
 
+@functools.lru_cache(maxsize=None)
 def make_reconstruct_jax(geom: FrameGeometry):
     """Jitted single-picture reconstruction for this geometry."""
     import jax

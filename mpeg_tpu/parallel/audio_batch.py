@@ -20,6 +20,7 @@ class BatchAudioDecoder:
 
     def __init__(self, data: bytes, window: int = 32,
                  use_native: bool = None):
+        window = max(4, window - window % 4)   # parallel path needs 4n frames
         from .. import native as native_mod
         if use_native is None:
             use_native = native_mod.available()
@@ -82,16 +83,17 @@ class BatchAudioDecoder:
             return None
 
         if self._synth is None:
-            self._synth = filterbank.make_synthesize_batch_jax()
-            self._v = jnp.zeros((2, 1024), jnp.float32)
-            self._v_pos = jnp.int32(0)
+            # Parallel (scan-free) synthesis: all DCTs at once, windowed
+            # MAC as strided tap slices — bit-exact vs the per-step scan.
+            self._synth = filterbank.make_synthesize_parallel_jax()
+            self._v = jnp.zeros((15, 2, 64), jnp.float32)   # block history
 
         n = len(frames)
         samples = np.zeros((self.window, 36, 2, 32), np.int32)
         samples[:n] = frames
-        u, self._v, self._v_pos = self._synth(
-            jnp.asarray(samples), self._v, self._v_pos)
-        u = np.asarray(u[:n])
+        u, self._v = self._synth(
+            jnp.asarray(samples.reshape(-1, 2, 32)), self._v)
+        u = np.asarray(u).reshape(self.window, 36, 2, 32)[:n]
         return filterbank.finalize_np(u).reshape(-1)
 
     def decode_all(self) -> np.ndarray:

@@ -246,6 +246,7 @@ def unpack_plan_jax(plan, geom: FrameGeometry):
             plan["mv_v"].astype(jnp.int32))
 
 
+@__import__("functools").lru_cache(maxsize=None)
 def make_scan_decoder(geom: FrameGeometry, packed: bool = False,
                       blob_k: int = 0, emit_rgba: bool = False):
     """Build the jitted scan: (carry, stacked plans) -> (carry, displays).
