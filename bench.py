@@ -1,26 +1,30 @@
 #!/usr/bin/env python3
 """Benchmark: 1080p MPEG-1 decode throughput on one TPU chip.
 
-Measures the sustained decode pipeline — packed picture plans streaming
-host->device + windowed scan reconstruction (IDCT, motion compensation,
-residual stores) on device, frames staying in HBM for downstream
-consumers.  Baseline: libavcodec (via cv2) decoding the same elementary
-stream on the host CPU.
+Measures the sustained decode pipeline — window-blob picture plans
+streaming host->device + windowed scan reconstruction (IDCT, motion
+compensation, residual stores) on device, frames staying in HBM for
+downstream consumers.  Baseline: libavcodec (via cv2) decoding the same
+elementary stream on the host CPU.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 
-Details (parse cost, device-only time, audio Msamples/s) go to stderr.
+Details (per-stage budget, audio Msamples/s) go to stderr.
 
-Host parse runs on the native C++ parser (one instance per stream),
-overlapped with transfer+reconstruct via a worker thread; streams loop
-over the fixture to keep every round full.
+Pipeline shape (three overlapped stages, median of 3 measured passes):
+  parse thread:    native C++ parse -> window blob [S, bytes]   (1 core)
+  transfer thread: jax.device_put of the next round's blob
+  main thread:     dispatch the donated-carry vmapped scan
 """
 
 import json
 import os
+import queue
+import statistics
 import struct
 import sys
+import threading
 import time
 
 import numpy as np
@@ -30,12 +34,12 @@ sys.path.insert(0, REPO)
 
 BENCH_DIR = os.path.join(REPO, "bench_data")
 FIXTURE = os.path.join(BENCH_DIR, "test1080.m1v")
-PLANS = os.path.join(BENCH_DIR, "plans1080.npz")
 
 WIDTH, HEIGHT, FRAMES = 1920, 1080, 32
 WINDOW = 8
 STREAMS = 4          # stream batch per dispatch round
-ROUNDS = 6
+ROUNDS = 6           # rounds per measured pass
+PASSES = 3           # end-to-end repetitions (median reported)
 
 
 def log(*a):
@@ -106,36 +110,65 @@ def baseline_fps(path: str) -> float:
     return n / dt if dt > 0 else 0.0
 
 
-def parse_plans(path: str, max_pictures: int):
-    """Host-parse pictures into a packed window blob (cached: Python parse
-    is the placeholder for the native parser)."""
-    import mpeg_tpu as mpeg
-    from mpeg_tpu.parallel.batch import pack_plans_blob, count_plan_coeffs
+class Stream:
+    """One looping parse stream over the fixture bytes."""
 
-    buf = mpeg.Buffer(open(path, "rb"))
-    buf.set_load_callback(buf.load_reader_callback)
-    video = mpeg.Video(buf, backend="plan")
-    assert video.has_header()
-    geom = video.geom
+    def __init__(self, data: bytes):
+        from mpeg_tpu import native
+        self.data = data
+        self.native = native
+        self.p = native.NativeVideoParser(data)
 
-    if os.path.exists(PLANS):
-        z = np.load(PLANS)
-        return geom, z["blob"], int(z["k"]), float(z["parse_spf"])
+    def next_type(self) -> int:
+        t = self.p.blob_prepare()
+        if t == 0:   # loop the stream
+            self.p = self.native.NativeVideoParser(self.data)
+            t = self.p.blob_prepare()
+        return t
 
-    t0 = time.time()
-    plans = []
-    while len(plans) < max_pictures:
-        item = video.parse_next_plan()
-        if item is None:
-            break
-        plans.append(item)
-    parse_spf = (time.time() - t0) / max(1, len(plans))
-    log(f"parsed {len(plans)} pictures, {parse_spf:.2f} s/frame (host python)")
 
-    k = max(4096, 1 << int(np.ceil(np.log2(max(1, count_plan_coeffs(plans))))))
-    blob = pack_plans_blob(plans[:WINDOW], geom, WINDOW, k)
-    np.savez_compressed(PLANS, blob=blob, k=k, parse_spf=parse_spf)
-    return geom, blob, k, parse_spf
+def make_window_filler(geom, window: int, km: int, ke: int):
+    """Returns fill(streams) -> blob [S, total_bytes]: parses one window
+    per stream, emitting pool records and metadata straight into the
+    blob's field views (no intermediate copies)."""
+    from mpeg_tpu.parallel.batch import blob_layout
+
+    offs, total = blob_layout(geom, window, km, ke)
+    mb = geom.mb_size
+
+    def fill(streams):
+        blob = np.zeros((len(streams), total), np.uint8)
+        for s, st in enumerate(streams):
+            row = blob[s]
+
+            def view(name, dtype, n):
+                off, _ = offs[name]
+                return row[off:off + np.dtype(dtype).itemsize * n].view(dtype)
+
+            flags = view("flags", np.int32, window)
+            mvh = view("mv_h", np.int16, window * mb).reshape(window, mb)
+            mvv = view("mv_v", np.int16, window * mb).reshape(window, mb)
+            nbc = view("nbcls", np.uint16, window * mb).reshape(window, mb)
+            msc = view("mbmisc", np.uint8, window * mb).reshape(window, mb)
+            mi = view("main_idx", np.uint32, km)
+            mv = view("main_val", np.int16, km)
+            ei = view("esc_idx", np.uint32, ke)
+            ev = view("esc_val", np.int32, ke)
+
+            nm = ne = 0
+            for w in range(window):
+                st.next_type()
+                cm, ce = st.p.blob_counts()
+                assert nm + cm <= km and ne + ce <= ke, \
+                    f"pool overflow: {nm + cm}/{km} main, {ne + ce}/{ke} esc"
+                flags[w] = st.p.blob_emit(
+                    mi[nm:], mv[nm:], ei[ne:], ev[ne:],
+                    mvh[w], mvv[w], nbc[w], msc[w], w * mb * 6 * 64)
+                nm += cm
+                ne += ce
+        return blob
+
+    return fill
 
 
 def main():
@@ -146,9 +179,17 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    # Persistent compilation cache: kills the ~60 s cold compile on every
+    # bench/production start after the first.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax_comp"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mpeg_tpu import native
     from mpeg_tpu.parallel.batch import (
-        blob_layout, make_scan_decoder, relayout_blob_row,
+        blob_layout, make_scan_step, pool_bucket, unpack_blob_jax,
     )
 
     devices = jax.devices()
@@ -156,94 +197,117 @@ def main():
 
     data = open(path, "rb").read()
 
-    # --- host parse: native C++ parser emitting blob rows directly ---
-    parser = native.NativeVideoParser(data)
-    assert parser.has_header()
-    geom = parser.geom()
-
+    # --- stage 1: host parse budget (1 stream, full fixture) ---
+    st = Stream(data)
+    geom = st.p.geom()
     t0 = time.time()
-    k = 4096
-    rows, types = [], []
-    while True:
-        ptype = parser.blob_prepare()
-        if ptype == 0:
-            break
-        need = parser.blob_coeff_count()
-        if need > k:
-            old_k = k
-            while k < need:
-                k *= 2
-            rows = [relayout_blob_row(r, geom, old_k, k) for r in rows]
-        _offs, step_bytes = blob_layout(geom, k)
-        row = np.zeros(step_bytes, np.uint8)
-        parser.blob_emit(row, k)
-        rows.append(row)
-        types.append(ptype)
+    pics = 0
+    max_main = max_esc = 0
+    win_main = win_esc = 0
+    mb = geom.mb_size
+    meta_scratch = (np.zeros(mb, np.int16), np.zeros(mb, np.int16),
+                    np.zeros(mb, np.uint16), np.zeros(mb, np.uint8))
+    while st.p.blob_prepare() != 0:
+        cm, ce = st.p.blob_counts()
+        win_main += cm
+        win_esc += ce
+        st.p.blob_emit(np.empty(max(cm, 1), np.uint32),
+                       np.empty(max(cm, 1), np.int16),
+                       np.empty(max(ce, 1), np.uint32),
+                       np.empty(max(ce, 1), np.int32),
+                       *meta_scratch, 0)
+        pics += 1
+        if pics % WINDOW == 0:
+            max_main, max_esc = max(max_main, win_main), max(max_esc, win_esc)
+            win_main = win_esc = 0
+    max_main, max_esc = max(max_main, win_main), max(max_esc, win_esc)
     parse_dt = time.time() - t0
-    log(f"native parse+blob: {len(rows)} pictures in {parse_dt:.2f}s "
-        f"({parse_dt/len(rows)*1000:.1f} ms/pic, k={k}, "
-        f"{rows[0].nbytes/1e6:.2f} MB/pic)")
+    parse_fps = pics / parse_dt
+    km = pool_bucket(max_main, 4096)
+    ke = pool_bucket(max_esc, 64)
+    _, total_bytes = blob_layout(geom, WINDOW, km, ke)
+    log(f"native parse: {pics} pictures in {parse_dt:.2f}s "
+        f"({parse_dt / pics * 1000:.1f} ms/pic -> {parse_fps:.0f} pics/s); "
+        f"window pool km={km} ke={ke}, "
+        f"{total_bytes / WINDOW / 1e6:.2f} MB/pic blob")
 
-    # --- device: multi-stream windowed scan over the parsed blobs ---
-    _offs, step_bytes = blob_layout(geom, k)
-    n_win = max(1, len(rows) // WINDOW)
-    blob = np.zeros((WINDOW, step_bytes), np.uint8)
-    blob[:] = rows[:WINDOW]
-    blobs = np.broadcast_to(blob, (STREAMS,) + blob.shape).copy()
+    # --- device: multi-stream windowed scan, donated carry ---
+    step = make_scan_step(geom)
 
-    scan = make_scan_decoder(geom, blob_k=k)
-    vscan = jax.jit(jax.vmap(scan))
-    z = jnp.zeros((STREAMS, geom.total_size), jnp.uint8)
-    carry = (z, z, z)
+    def scan_one(carry, blob):
+        xs = unpack_blob_jax(blob, geom, WINDOW, km, ke)
+        return jax.lax.scan(step, carry, xs)
 
-    t0 = time.time()
-    cur = jax.device_put(blobs)
-    carry, disps = vscan(carry, cur)
-    jax.block_until_ready(disps)
-    log(f"compile+first window: {time.time()-t0:.1f}s")
+    vscan = jax.jit(jax.vmap(scan_one), donate_argnums=0)
 
-    # Sustained end-to-end: for each round, RE-PARSE a window on host
-    # (native parser), pack, transfer, reconstruct — double-buffered.
-    parsers = [native.NativeVideoParser(data) for _ in range(STREAMS)]
-    def host_window():
-        out = np.zeros((STREAMS, WINDOW, step_bytes), np.uint8)
-        for s, p in enumerate(parsers):
-            for w in range(WINDOW):
-                ptype = p.blob_prepare()
-                if ptype == 0:   # loop the stream
-                    parsers[s] = p = native.NativeVideoParser(data)
-                    ptype = p.blob_prepare()
-                p.blob_emit(out[s, w], k)
-        return out
+    def fresh_carry():
+        return tuple(jnp.zeros((STREAMS, geom.total_size), jnp.uint8)
+                     for _ in range(3))
 
-    from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(1)
+    streams = [Stream(data) for _ in range(STREAMS)]
+    fill = make_window_filler(geom, WINDOW, km, ke)
 
     t0 = time.time()
-    fut = pool.submit(host_window)
-    for _ in range(ROUNDS):
-        blob_np = fut.result()
-        fut = pool.submit(host_window)   # parse next round concurrently
-        carry, disps = vscan(carry, jax.device_put(blob_np))
+    carry = fresh_carry()
+    carry, disps = vscan(carry, jax.device_put(fill(streams)))
     jax.block_until_ready(disps)
-    dt = time.time() - t0
+    log(f"compile+first window: {time.time() - t0:.1f}s "
+        f"(cache: {cache_dir})")
+
     frames = STREAMS * WINDOW * ROUNDS
-    fps = frames / dt
-    log(f"END-TO-END: {frames} frames in {dt:.2f}s -> {fps:.1f} fps "
-        f"(native parse + blob h2d + device reconstruct, {STREAMS} "
-        f"streams x window {WINDOW}, single host core)")
+
+    # Sustained end-to-end, PASSES times: parse thread -> transfer thread
+    # -> dispatch, queue depth 2 between stages.
+    def one_pass():
+        parse_q = queue.Queue(maxsize=2)
+        dev_q = queue.Queue(maxsize=2)
+
+        def parser_thread():
+            for _ in range(ROUNDS):
+                parse_q.put(fill(streams))
+
+        def transfer_thread():
+            for _ in range(ROUNDS):
+                dev_q.put(jax.device_put(parse_q.get()))
+
+        threads = [threading.Thread(target=parser_thread, daemon=True),
+                   threading.Thread(target=transfer_thread, daemon=True)]
+        carry = fresh_carry()
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        disps = None
+        for _ in range(ROUNDS):
+            carry, disps = vscan(carry, dev_q.get())
+        jax.block_until_ready(disps)
+        return frames / (time.time() - t0)
+
+    e2e = sorted(one_pass() for _ in range(PASSES))
+    fps = statistics.median(e2e)
+    log(f"END-TO-END: {frames} frames/pass x {PASSES} passes -> "
+        f"median {fps:.1f} fps (min {e2e[0]:.1f}, max {e2e[-1]:.1f}) "
+        f"({STREAMS} streams x window {WINDOW}, single host core)")
 
     # transfer+device only (parse excluded)
-    pre = host_window()
+    pre = fill(streams)
+    carry = fresh_carry()
     t0 = time.time()
     for _ in range(ROUNDS):
         carry, disps = vscan(carry, jax.device_put(pre))
     jax.block_until_ready(disps)
     xfer_fps = frames / (time.time() - t0)
-    log(f"transfer+device only: {xfer_fps:.1f} fps")
+
+    # transfer only
+    t0 = time.time()
+    for _ in range(ROUNDS):
+        jax.block_until_ready(jax.device_put(pre))
+    h2d_dt = time.time() - t0
+    h2d_fps = frames / h2d_dt
+    h2d_mbs = pre.nbytes * ROUNDS / h2d_dt / 1e6
 
     # device only (blob resident)
     cur = jax.device_put(pre)
+    carry = fresh_carry()
     carry, disps = vscan(carry, cur)
     jax.block_until_ready(disps)
     t0 = time.time()
@@ -251,7 +315,11 @@ def main():
         carry, disps = vscan(carry, cur)
     jax.block_until_ready(disps)
     dev_fps = frames / (time.time() - t0)
-    log(f"device-only: {dev_fps:.1f} fps")
+
+    log("per-stage budget (fps): "
+        f"parse {parse_fps:.0f} | h2d {h2d_fps:.0f} ({h2d_mbs:.0f} MB/s) | "
+        f"h2d+device {xfer_fps:.0f} | device {dev_fps:.0f} | "
+        f"pipeline bound ~{min(parse_fps, xfer_fps):.0f}")
 
     # Secondary metrics ----------------------------------------------------
     # C++ host-only decoder (CPU fallback path) on the same fixture.
@@ -277,12 +345,12 @@ def main():
     log(f"MP2 audio: {total} samples in {a_dt:.2f}s -> "
         f"{total / a_dt / 1e6:.2f} Msamples/s")
 
-    log(f"total bench wall: {time.time()-t_start:.1f}s")
+    log(f"total bench wall: {time.time() - t_start:.1f}s")
 
     print(json.dumps({
         "metric": "1080p MPEG-1 end-to-end decode fps/chip (native parse "
-                  "+ packed h2d + TPU reconstruct; baseline: libavcodec "
-                  "1-thread on the same single-core host)",
+                  "+ window-blob h2d + TPU reconstruct; baseline: "
+                  "libavcodec 1-thread on the same single-core host)",
         "value": round(fps, 1),
         "unit": "fps",
         "vs_baseline": round(fps / base_fps, 2) if base_fps else 0.0,

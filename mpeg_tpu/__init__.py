@@ -27,9 +27,10 @@ from .demux import (
 from .audio import Audio, AudioFormat, Samples, SAMPLES_PER_FRAME
 from .video import Video, Frame
 from .mpeg import MPEG, InvalidMpegError
+from .config import Config
 
 __all__ = [
-    "MPEG", "InvalidMpegError",
+    "MPEG", "InvalidMpegError", "Config",
     "Video", "Frame",
     "Buffer", "BUFFER_SIZE",
     "Demux", "Packet", "InvalidHeaderError",

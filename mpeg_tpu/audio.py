@@ -82,10 +82,15 @@ class Samples:
 class Audio:
     """MP2 decoder: pulls an elementary stream from `buf`, yields Samples."""
 
-    def __init__(self, buf: Buffer, backend: str = "jax",
-                 parser: str = "auto"):
+    def __init__(self, buf: Buffer, backend: str = None,
+                 parser: str = None, config=None):
         """`parser`: "python", "native" (C++) or "auto" (native when
-        available)."""
+        available).  Unset arguments fall back to `config` (default
+        config.DEFAULT)."""
+        from .config import DEFAULT
+        cfg = config if config is not None else DEFAULT
+        backend = backend if backend is not None else cfg.backend
+        parser = parser if parser is not None else cfg.parser
         self.buf = buf
         if parser == "auto":
             from . import native as native_mod

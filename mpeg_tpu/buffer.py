@@ -27,8 +27,10 @@ class CorruptStream(Exception):
 class Buffer:
     """Byte-growable, bit-addressed data source."""
 
-    def __init__(self, reader: Optional[io.IOBase] = None):
+    def __init__(self, reader: Optional[io.IOBase] = None,
+                 chunk_size: int = None):
         self.reader = reader
+        self.chunk_size = chunk_size if chunk_size else BUFFER_SIZE
         self.data = bytearray()
         self.bit_index = 0
         self.total_size = 0
@@ -85,7 +87,7 @@ class Buffer:
         """Default load callback: read one chunk from the reader."""
         if self._has_ended:
             return
-        chunk = self.reader.read(BUFFER_SIZE)
+        chunk = self.reader.read(self.chunk_size)
         if not chunk:
             self._has_ended = True
             return

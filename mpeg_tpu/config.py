@@ -1,16 +1,18 @@
 """Framework configuration.
 
 Mirrors the reference's three config mechanisms (SURVEY §5 config row):
-its `noasm` build tag becomes the `backend` selector, `BufferSize` is
-carried over verbatim, and the runtime setters (audio format/stream/lead
-time, loop, no-delay, probe size) live on the decoder objects as in the
-reference.  Everything here has a working default; pass a Config to the
-high-level constructors to override.
+its `noasm` build tag becomes the `backend`/`parser` selectors,
+`BufferSize` is carried over verbatim, and the runtime setters (audio
+format/stream/lead time, loop, no-delay, probe size) live on the decoder
+objects as in the reference.  Everything here has a working default;
+pass a Config to `MPEG`, `Video`, `Audio` or `BatchVideoDecoder` to
+override their defaults in one place (explicit keyword arguments still
+win over the Config).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass
@@ -20,13 +22,13 @@ class Config:
     #   "numpy" — host scalar-exact oracle (the `noasm` analog)
     backend: str = "jax"
 
-    # Host parser: "native" (C++) when available, else "python".
+    # Host parser: "native" (C++) when available, else "python";
+    # "auto" picks native when the shared object builds/loads.
     parser: str = "auto"
 
     # Batched decode (parallel/) knobs.
-    window: int = 32              # pictures per device dispatch
-    transport: str = "blob"      # "blob" | "packed" | "dense"
-    coeff_capacity: int = 4096   # initial packed-coefficient bucket
+    window: int = 32          # pictures per device dispatch
+    transport: str = "blob"   # "blob" (window pool) | "dense" (oracle)
 
     # Buffer refill chunk (reference BufferSize, buffer.go:8-11).
     buffer_size: int = 128 * 1024

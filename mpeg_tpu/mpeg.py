@@ -38,12 +38,15 @@ AudioCallback = Callable[["MPEG", Samples], None]
 class MPEG:
     """High-level interface over an MPEG-PS source."""
 
-    def __init__(self, reader, backend: str = "jax"):
+    def __init__(self, reader, backend: str = None, config=None):
         if isinstance(reader, (bytes, bytearray)):
             reader = io.BytesIO(reader)
 
-        self.backend = backend
-        buf = Buffer(reader)
+        from .config import DEFAULT
+        self.config = config if config is not None else DEFAULT
+        self.backend = backend if backend is not None \
+            else self.config.backend
+        buf = Buffer(reader, chunk_size=self.config.buffer_size)
         buf.set_load_callback(buf.load_reader_callback)
 
         if not buf.has(32):
@@ -71,7 +74,7 @@ class MPEG:
         self.audio_enabled = True
         self.audio_packet_type = 0
         self.audio_stream_index = 0
-        self.audio_lead_time = 0.0
+        self.audio_lead_time = self.config.audio_lead_time
         self.audio_buffer: Optional[Buffer] = None
         self.audio_decoder: Optional[Audio] = None
 
@@ -381,7 +384,8 @@ class MPEG:
                 self.video_buffer = Buffer(None)
                 self.video_buffer.set_load_callback(self._read_video_packet)
                 self.video_decoder = Video(self.video_buffer,
-                                           backend=self.backend)
+                                           backend=self.backend,
+                                           parser=self.config.parser)
 
         if self.demux.get_num_audio_streams() > 0:
             if self.audio_enabled:
@@ -391,7 +395,10 @@ class MPEG:
                 self.audio_buffer = Buffer(None)
                 self.audio_buffer.set_load_callback(self._read_audio_packet)
                 self.audio_decoder = Audio(self.audio_buffer,
-                                           backend=self.backend)
+                                           backend=self.backend,
+                                           parser=self.config.parser)
+                if self.config.audio_format:
+                    self.set_audio_format(self.config.audio_format)
 
         self.has_decoders = True
         return True

@@ -63,14 +63,17 @@ def load() -> ctypes.CDLL:
     lib.vp_parse_picture.restype = ctypes.c_int
 
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.vp_parse_blob_prepare.argtypes = [ctypes.c_void_p]
     lib.vp_parse_blob_prepare.restype = ctypes.c_int
-    lib.vp_blob_coeff_count.argtypes = [ctypes.c_void_p]
-    lib.vp_blob_coeff_count.restype = ctypes.c_int64
-    lib.vp_blob_emit.argtypes = [ctypes.c_void_p, p_u8, ctypes.c_int64,
-                                 p_i64, ctypes.c_int]
-    lib.vp_blob_emit.restype = ctypes.c_int64
+    lib.vp_blob_counts.argtypes = [ctypes.c_void_p, p_i64]
+    lib.vp_blob_emit.argtypes = [
+        ctypes.c_void_p, p_u32, p_i16, p_u32, p_i32,
+        p_i16, p_i16, p_u16, p_u8, ctypes.c_int64]
+    lib.vp_blob_emit.restype = ctypes.c_int
 
     lib.vp_rewind.argtypes = [ctypes.c_void_p]
     lib.vp_unconsumed.argtypes = [ctypes.c_void_p]
@@ -146,14 +149,19 @@ class NativeVideoParser:
 
     @property
     def width(self) -> int:
+        """Frame width; 0 until the sequence header is available (the
+        getter parses it on demand, like the reference's lazy getters)."""
+        self.has_header()
         return self._lib.vp_width(self._h)
 
     @property
     def height(self) -> int:
+        self.has_header()
         return self._lib.vp_height(self._h)
 
     @property
     def framerate(self) -> float:
+        self.has_header()
         return self._lib.vp_framerate(self._h)
 
     def geom(self):
@@ -183,20 +191,20 @@ class NativeVideoParser:
             return 0
         return self._lib.vp_parse_blob_prepare(self._h)
 
-    def blob_coeff_count(self) -> int:
-        return int(self._lib.vp_blob_coeff_count(self._h))
+    def blob_counts(self) -> tuple[int, int]:
+        """(main, escape) pool-record counts of the prepared picture."""
+        out = np.zeros(2, np.int64)
+        self._lib.vp_blob_counts(self._h, out)
+        return int(out[0]), int(out[1])
 
-    def blob_emit(self, row: np.ndarray, k: int) -> int:
-        """Emit the prepared picture into a pre-zeroed blob row laid out
-        for capacity `k` (call blob_coeff_count first to size it)."""
-        from .parallel.batch import blob_layout, BLOB_FIELDS
-        geom = self.geom()
-        offs, step_bytes = blob_layout(geom, k)
-        assert row.shape == (step_bytes,) and row.dtype == np.uint8
-        offsets = np.asarray([offs[f][0] for f in BLOB_FIELDS], np.int64)
-        bid_bytes = 2 if geom.mb_size * 6 <= 0xFFFF else 4
-        return int(self._lib.vp_blob_emit(self._h, row, k, offsets,
-                                          bid_bytes))
+    def blob_emit(self, main_idx, main_val, esc_idx, esc_val,
+                  mvh, mvv, nbcls, misc, idx_base: int) -> int:
+        """Emit the prepared picture's pool records + packed metadata
+        (size the record arrays from blob_counts; the metadata arrays are
+        this picture's [mb] slots).  Returns the flags word."""
+        return int(self._lib.vp_blob_emit(
+            self._h, main_idx, main_val, esc_idx, esc_val,
+            mvh, mvv, nbcls, misc, idx_base))
 
 
 class NativeHostDecoder(NativeVideoParser):

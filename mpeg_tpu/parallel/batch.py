@@ -17,10 +17,33 @@ Frame rotation and display selection replicate the reference exactly:
 
 Independent streams stack on a leading axis via `jax.vmap`; shard that
 axis over a mesh with `shard_map` (see parallel/sharding.py).
+
+Transport: the host->device bytes are the throughput bottleneck for large
+frames (a dense 1080p coefficient tensor is 12.5 MB/picture, ~97% zeros).
+The production transport is a single uint8 "window blob" per window:
+
+- one coefficient POOL for the whole window sized by the window's ACTUAL
+  record count (bucketed), not window * max-per-picture — I pictures are
+  5-10x denser than P/B, so per-window pooling cuts the coefficient bytes
+  ~4x on typical GOPs;
+- pool records carry the UNPREMULTIPLIED quotient as int16 (the clipped
+  level fits +-2048, video.go:737-742) and the device multiplies by the
+  position's premultiplier (tables.PREMULTIPLIER_MATRIX); values that are
+  not an exact premultiplier multiple (junk-stream scratch leaks, huge
+  intra DCs) go to a small int32 ESCAPE lane — the encoding is decided
+  per record by exact divisibility, so it is lossless by construction;
+- per-MB metadata packs to 7 bytes (mv 2x int16, a uint16 of 2-bit IDCT
+  variant classes per block, and one uint8 of intra bits + src_sel) —
+  the reconstruction only ever needs the variant class {0, 1, sparse,
+  full} of nblocks, never the exact count (ops/video_recon.idct_batch).
+
+The dense dict transport (stack_plans + make_dense_scan_decoder) remains
+as the readable oracle used by tests.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -28,13 +51,20 @@ import numpy as np
 from ..ops.video_recon import FrameGeometry, reconstruct_picture
 from ..tables import (
     PICTURE_TYPE_B, PICTURE_TYPE_INTRA, PICTURE_TYPE_PREDICTIVE,
+    PREMULTIPLIER_MATRIX,
 )
 from ..video import Frame, Video
 
+_PREMULT = np.asarray(PREMULTIPLIER_MATRIX, np.int32)
+
+# Representative nblocks value per 2-bit variant class; preserves every
+# branch idct_batch takes (0 = uncoded, 1 = DC-only, <10 = sparse, full).
+_NB_CLASS_REP = (0, 1, 2, 10)
+
 
 def stack_plans(plans, geom: FrameGeometry, window: int):
-    """Stack (plan, picture_type) pairs into scan inputs, padding with
-    no-op steps (a no-op leaves the carry untouched)."""
+    """Stack (plan, picture_type) pairs into dense scan inputs, padding
+    with no-op steps (a no-op leaves the carry untouched)."""
     n = len(plans)
     assert n <= window
     mb = geom.mb_size
@@ -61,84 +91,49 @@ def stack_plans(plans, geom: FrameGeometry, window: int):
     return out
 
 
-def pack_plans(plans, geom: FrameGeometry, window: int, k: int):
-    """Packed scan inputs: coefficients as sparse (index, value) pairs and
-    narrow dtypes for the flags/motion arrays.
-
-    The host->device transfer is the throughput bottleneck for large
-    frames (the dense coefficient tensor is 12.5 MB per 1080p picture,
-    ~97% zeros); packing cuts the bytes ~20x.  The device densifies with
-    one scatter-add per step.  `k` is the per-picture coefficient
-    capacity (pad index 0 adds value 0 — harmless).
-    """
-    n = len(plans)
-    assert n <= window
-    mb = geom.mb_size
-    out = {
-        "coeff_idx": np.zeros((window, k), np.int32),
-        "coeff_val": np.zeros((window, k), np.int32),
-        "nblocks": np.zeros((window, mb, 6), np.int8),
-        "intra_blk": np.zeros((window, mb, 6), np.int8),
-        "src_sel": np.zeros((window, mb), np.int8),
-        "mv_h": np.zeros((window, mb), np.int16),
-        "mv_v": np.zeros((window, mb), np.int16),
-        "is_ref": np.zeros(window, np.int32),
-        "is_noop": np.ones(window, np.int32),
-    }
-    for i, (plan, ptype) in enumerate(plans):
-        flat = plan.coeffs.reshape(-1)
-        idx = np.flatnonzero(flat)
-        if idx.size > k:
-            raise ValueError(f"coefficient capacity {k} < {idx.size}")
-        out["coeff_idx"][i, :idx.size] = idx
-        out["coeff_val"][i, :idx.size] = flat[idx]
-        out["nblocks"][i] = plan.nblocks
-        out["intra_blk"][i] = plan.intra_blk
-        out["src_sel"][i] = plan.src_sel
-        out["mv_h"][i] = plan.mv_h
-        out["mv_v"][i] = plan.mv_v
-        out["is_ref"][i] = 1 if ptype in (PICTURE_TYPE_INTRA,
-                                          PICTURE_TYPE_PREDICTIVE) else 0
-        out["is_noop"][i] = 0
-    return out
-
-
-def count_plan_coeffs(plans) -> int:
-    """Max nonzero coefficient count over a window of plans."""
-    return max((int(np.count_nonzero(p.coeffs)) for p, _ in plans),
-               default=0)
-
-
 # --------------------------------------------------------------------------
-# Blob transport: one contiguous byte buffer per window
+# Window blob: one contiguous byte buffer per window
 # --------------------------------------------------------------------------
 #
-# Per-array device_put costs one tunnel/PCIe round trip each; with 9 plan
-# arrays per window that overhead dominates the pipeline.  The blob packs
-# every field of a window step into one uint8 row (fixed little-endian
-# layout), so a whole window is ONE transfer; the device unpacks with
-# free bitcast/slice ops.
+# Per-array device_put costs one tunnel/PCIe round trip each; the blob
+# packs every field of a window into ONE uint8 buffer (fixed little-endian
+# layout), so a whole window is one transfer and the device unpacks with
+# free bitcast/slice ops followed by a single scatter-add densify.
 
-BLOB_FIELDS = ("coeff_bid", "coeff_pos", "coeff_val",
-               "mv_h", "mv_v", "nblocks", "intra_blk", "src_sel", "flags")
+BLOB_FIELDS = ("flags", "mv_h", "mv_v", "nbcls", "mbmisc",
+               "main_idx", "main_val", "esc_idx", "esc_val")
+
+_MIN_KM = 4096    # minimum main-pool bucket (records)
+_MIN_KE = 64      # minimum escape-pool bucket (records)
 
 
-def blob_layout(geom: FrameGeometry, k: int):
-    """Field offsets (bytes) within one step row.
+def pool_bucket(n: int, floor: int) -> int:
+    """Power-of-two capacity bucket covering n records."""
+    k = floor
+    while k < n:
+        k *= 2
+    return k
 
-    Coefficients are 6-byte records split across three arrays: block id
-    (uint16, mb*6 < 65536 up to ~1080p-class geometries is NOT assumed —
-    ids use uint32 when needed), position-in-block (uint8) and the
-    premultiplied value as a signed 24-bit little-endian integer (range
-    +-2^23 covers level*premult and the DC<<8 path with margin).
+
+def blob_layout(geom: FrameGeometry, window: int, km: int, ke: int):
+    """Field byte offsets within one window blob.
+
+    flags     int32[window]      bit0 = is_ref, bit1 = valid step
+    mv_h/mv_v int16[window*mb]   motion vector actually used
+    nbcls     uint16[window*mb]  2-bit IDCT variant class per block
+    mbmisc    uint8[window*mb]   bits0-5 per-block intra, bits6-7 src_sel
+    main_idx  uint32[km]         flat index ((w*mb+m)*6+b)*64 + pos
+    main_val  int16[km]          value / premultiplier[pos] (exact)
+    esc_idx   uint32[ke]         escape records: full int32 value
+    esc_val   int32[ke]
     """
     mb = geom.mb_size
-    bid_bytes = 2 if mb * 6 <= 0xFFFF else 4
     fields = [
-        ("coeff_bid", bid_bytes * k), ("coeff_pos", k), ("coeff_val", 3 * k),
-        ("mv_h", 2 * mb), ("mv_v", 2 * mb),
-        ("nblocks", 6 * mb), ("intra_blk", 6 * mb),
-        ("src_sel", mb), ("flags", 4),   # bit0 = is_ref, bit1 = valid
+        ("flags", 4 * window),
+        ("mv_h", 2 * window * mb), ("mv_v", 2 * window * mb),
+        ("nbcls", 2 * window * mb), ("mbmisc", window * mb),
+        ("main_idx", 4 * km), ("main_val", 2 * km),
+        ("esc_idx", 4 * ke), ("esc_val", 4 * ke),
     ]
     offs = {}
     pos = 0
@@ -149,142 +144,164 @@ def blob_layout(geom: FrameGeometry, k: int):
     return offs, (pos + 3) & ~3
 
 
-def pack_plans_blob(plans, geom: FrameGeometry, window: int, k: int):
-    """Pack a window of plans into a [window, step_bytes] uint8 blob."""
-    offs, step_bytes = blob_layout(geom, k)
-    blob = np.zeros((window, step_bytes), np.uint8)
+def plan_pool_records(plan):
+    """Split one plan's nonzero coefficients into (main, escape) records.
 
-    def put(i, name, arr):
+    main: (idx int64[], quot int16[]) where coeff == quot * premult[pos];
+    escape: (idx int64[], val int32[]) for values with no exact int16
+    quotient.  idx is the flat position within the picture (block*64+pos).
+    """
+    flat = plan.coeffs.reshape(-1)
+    idx = np.flatnonzero(flat)
+    v = flat[idx].astype(np.int64)
+    p = _PREMULT[idx & 63].astype(np.int64)
+    q = v // p
+    main = (q * p == v) & (q >= -32768) & (q <= 32767)
+    return (idx[main], q[main].astype(np.int16),
+            idx[~main], v[~main].astype(np.int32))
+
+
+def count_pool_records(plans) -> tuple[int, int]:
+    """Total (main, escape) record counts over a window of plans."""
+    nm = ne = 0
+    for plan, _ in plans:
+        mi, _, ei, _ = plan_pool_records(plan)
+        nm += mi.size
+        ne += ei.size
+    return nm, ne
+
+
+def _nb_classes(nblocks) -> np.ndarray:
+    """[mb, 6] coefficient counts -> packed uint16 of 2-bit classes."""
+    n = nblocks
+    cls = np.where(n <= 0, 0, np.where(n == 1, 1, np.where(n < 10, 2, 3)))
+    return (cls << (2 * np.arange(6, dtype=np.int32))).sum(
+        axis=1).astype(np.uint16)
+
+
+def pack_plans_blob(plans, geom: FrameGeometry, window: int,
+                    km: int, ke: int) -> np.ndarray:
+    """Pack a window of (plan, picture_type) pairs into one uint8 blob."""
+    offs, total = blob_layout(geom, window, km, ke)
+    mb = geom.mb_size
+    blob = np.zeros(total, np.uint8)
+
+    def view(name, dtype, n):
         off, size = offs[name]
-        raw = arr.tobytes()
-        assert len(raw) <= size
-        blob[i, off:off + len(raw)] = np.frombuffer(raw, np.uint8)
+        assert np.dtype(dtype).itemsize * n <= size
+        return blob[off:off + np.dtype(dtype).itemsize * n].view(dtype)
 
-    bid_dtype = np.uint16 if geom.mb_size * 6 <= 0xFFFF else np.uint32
-    for i, (plan, ptype) in enumerate(plans):
-        flat = plan.coeffs.reshape(-1)
-        idx = np.flatnonzero(flat)
-        if idx.size > k:
-            raise ValueError(f"coefficient capacity {k} < {idx.size}")
-        vals = flat[idx]
-        put(i, "coeff_bid", (idx >> 6).astype(bid_dtype))
-        put(i, "coeff_pos", (idx & 63).astype(np.uint8))
-        v24 = vals.astype(np.int32)[:, None] >> np.array([0, 8, 16])
-        put(i, "coeff_val", (v24 & 0xFF).astype(np.uint8))
-        put(i, "mv_h", plan.mv_h.astype(np.int16))
-        put(i, "mv_v", plan.mv_v.astype(np.int16))
-        put(i, "nblocks", plan.nblocks.astype(np.int8))
-        put(i, "intra_blk", plan.intra_blk.astype(np.int8))
-        put(i, "src_sel", plan.src_sel.astype(np.int8))
+    flags = view("flags", np.int32, window)
+    mvh = view("mv_h", np.int16, window * mb).reshape(window, mb)
+    mvv = view("mv_v", np.int16, window * mb).reshape(window, mb)
+    nbcls = view("nbcls", np.uint16, window * mb).reshape(window, mb)
+    misc = view("mbmisc", np.uint8, window * mb).reshape(window, mb)
+    main_idx = view("main_idx", np.uint32, km)
+    main_val = view("main_val", np.int16, km)
+    esc_idx = view("esc_idx", np.uint32, ke)
+    esc_val = view("esc_val", np.int32, ke)
+
+    nm = ne = 0
+    for w, (plan, ptype) in enumerate(plans):
+        mi, mv, ei, ev = plan_pool_records(plan)
+        if nm + mi.size > km or ne + ei.size > ke:
+            raise ValueError(
+                f"pool capacity exceeded: main {nm + mi.size}/{km}, "
+                f"esc {ne + ei.size}/{ke}")
+        base = w * mb * 6 * 64
+        main_idx[nm:nm + mi.size] = (mi + base).astype(np.uint32)
+        main_val[nm:nm + mi.size] = mv
+        esc_idx[ne:ne + ei.size] = (ei + base).astype(np.uint32)
+        esc_val[ne:ne + ei.size] = ev
+        nm += mi.size
+        ne += ei.size
+        mvh[w] = plan.mv_h.astype(np.int16)
+        mvv[w] = plan.mv_v.astype(np.int16)
+        nbcls[w] = _nb_classes(plan.nblocks)
+        misc[w] = ((plan.intra_blk.astype(np.uint8)
+                    << np.arange(6, dtype=np.uint8)).sum(axis=1)
+                   | (plan.src_sel.astype(np.uint8) << 6))
         is_ref = ptype in (PICTURE_TYPE_INTRA, PICTURE_TYPE_PREDICTIVE)
-        # bit0 = is_ref, bit1 = valid step (unset rows are no-op padding)
-        put(i, "flags", np.asarray([(1 if is_ref else 0) | 2], np.int32))
+        flags[w] = (1 if is_ref else 0) | 2
     return blob
 
 
-def relayout_blob_row(row, geom: FrameGeometry, old_k: int, new_k: int):
-    """Re-layout a blob row for a larger coefficient capacity."""
-    old_offs, _ = blob_layout(geom, old_k)
-    new_offs, new_bytes = blob_layout(geom, new_k)
-    out = np.zeros(new_bytes, np.uint8)
-    for name, (off, size) in old_offs.items():
-        noff, _nsize = new_offs[name]
-        out[noff:noff + size] = row[off:off + size]
-    return out
+def unpack_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
+                    ke: int):
+    """Unpack one window blob on device -> dense scan inputs dict.
 
-
-def unpack_blob_jax(row, geom: FrameGeometry, k: int):
-    """Unpack one blob step row on device -> dense plan tensors."""
+    One scatter-add densifies the whole window's coefficients (pad
+    records add value 0 at index 0 — harmless); everything else is
+    bitcast + shift arithmetic that XLA fuses away.
+    """
     import jax.numpy as jnp
     from jax import lax
 
-    offs, _ = blob_layout(geom, k)
+    offs, _ = blob_layout(geom, window, km, ke)
     mb = geom.mb_size
 
     def get(name, dtype, n):
         off, _size = offs[name]
         width = jnp.dtype(dtype).itemsize
-        raw = row[off:off + n * width]
+        raw = blob[off:off + n * width]
         if width == 1:
             return lax.bitcast_convert_type(raw, dtype)
         return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
 
-    bid_dtype = jnp.uint16 if mb * 6 <= 0xFFFF else jnp.uint32
-    bid = get("coeff_bid", bid_dtype, k).astype(jnp.int32)
-    pos = get("coeff_pos", jnp.uint8, k).astype(jnp.int32)
-    raw = get("coeff_val", jnp.uint8, 3 * k).reshape(k, 3).astype(jnp.int32)
-    # sign-extend the 24-bit little-endian value
-    val = (raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)) << 8 >> 8
-    coeffs = jnp.zeros(mb * 6 * 64, jnp.int32) \
-        .at[bid * 64 + pos].add(val).reshape(mb, 6, 64)
-    mv_h = get("mv_h", jnp.int16, mb).astype(jnp.int32)
-    mv_v = get("mv_v", jnp.int16, mb).astype(jnp.int32)
-    nblocks = get("nblocks", jnp.int8, 6 * mb).astype(jnp.int32) \
-        .reshape(mb, 6)
-    intra_blk = get("intra_blk", jnp.int8, 6 * mb).astype(jnp.int32) \
-        .reshape(mb, 6)
-    src_sel = get("src_sel", jnp.int8, mb).astype(jnp.int32)
-    flags = get("flags", jnp.int32, 1)[0]
-    is_ref = flags & 1
-    is_noop = 1 - ((flags >> 1) & 1)
-    return coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v, is_ref, is_noop
+    flags = get("flags", jnp.int32, window)
+    mv_h = get("mv_h", jnp.int16, window * mb).astype(jnp.int32) \
+        .reshape(window, mb)
+    mv_v = get("mv_v", jnp.int16, window * mb).astype(jnp.int32) \
+        .reshape(window, mb)
+    nbcls = get("nbcls", jnp.uint16, window * mb).astype(jnp.int32) \
+        .reshape(window, mb)
+    cls = (nbcls[:, :, None] >> (2 * jnp.arange(6, dtype=jnp.int32))) & 3
+    nblocks = jnp.asarray(_NB_CLASS_REP, jnp.int32)[cls]
+    misc = get("mbmisc", jnp.uint8, window * mb).astype(jnp.int32) \
+        .reshape(window, mb)
+    intra_blk = (misc[:, :, None] >> jnp.arange(6, dtype=jnp.int32)) & 1
+    src_sel = misc >> 6
+
+    midx = get("main_idx", jnp.uint32, km).astype(jnp.int32)
+    mval = get("main_val", jnp.int16, km).astype(jnp.int32)
+    contrib = mval * jnp.asarray(_PREMULT)[midx & 63]
+    eidx = get("esc_idx", jnp.uint32, ke).astype(jnp.int32)
+    eval_ = get("esc_val", jnp.int32, ke)
+    dense = jnp.zeros(window * mb * 6 * 64, jnp.int32) \
+        .at[midx].add(contrib).at[eidx].add(eval_)
+
+    return {
+        "coeffs": dense.reshape(window, mb, 6, 64),
+        "nblocks": nblocks,
+        "intra_blk": intra_blk,
+        "src_sel": src_sel,
+        "mv_h": mv_h,
+        "mv_v": mv_v,
+        "is_ref": flags & 1,
+        "is_noop": 1 - ((flags >> 1) & 1),
+    }
 
 
-def unpack_plan_jax(plan, geom: FrameGeometry):
-    """Densify one packed scan step's plan on device (scatter-add; the
-    zero-padding indices add value 0 at position 0 — harmless)."""
-    import jax.numpy as jnp
-    mb = geom.mb_size
-    coeffs = jnp.zeros(mb * 6 * 64, jnp.int32) \
-        .at[plan["coeff_idx"]].add(plan["coeff_val"]) \
-        .reshape(mb, 6, 64)
-    return (coeffs,
-            plan["nblocks"].astype(jnp.int32),
-            plan["intra_blk"].astype(jnp.int32),
-            plan["src_sel"].astype(jnp.int32),
-            plan["mv_h"].astype(jnp.int32),
-            plan["mv_v"].astype(jnp.int32))
+# --------------------------------------------------------------------------
+# Scan decoders
+# --------------------------------------------------------------------------
 
-
-@__import__("functools").lru_cache(maxsize=None)
-def make_scan_decoder(geom: FrameGeometry, packed: bool = False,
-                      blob_k: int = 0, emit_rgba: bool = False):
-    """Build the jitted scan: (carry, stacked plans) -> (carry, displays).
-
-    carry = (current, forward, backward) flat uint8 frame buffers.
-    displays[t] = the frame the reference's Decode() would return after
-    picture t (old backward for reference pictures, the decoded picture
-    for B pictures).  Validity of each display is tracked host-side.
-
-    Plan transport: dense dict (packed=False), packed dict (packed=True)
-    or — fastest — a single uint8 blob per window (blob_k > 0, giving the
-    coefficient capacity; see pack_plans_blob).
-    """
-    import jax
+def make_scan_step(geom: FrameGeometry, emit_rgba: bool = False):
+    """The per-picture scan step over dense plan tensors (shared by the
+    dense and blob decoders and the sharded mesh decoder)."""
     import jax.numpy as jnp
 
     def step(carry, plan):
         cur, fwd, bwd = carry
-
-        if blob_k:
-            (coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v,
-             is_ref, is_noop) = unpack_blob_jax(plan, geom, blob_k)
-        elif packed:
-            coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v = \
-                unpack_plan_jax(plan, geom)
-            is_ref, is_noop = plan["is_ref"], plan["is_noop"]
-        else:
-            coeffs, nblocks, intra_blk, src_sel, mv_h, mv_v = (
-                plan["coeffs"], plan["nblocks"], plan["intra_blk"],
-                plan["src_sel"], plan["mv_h"], plan["mv_v"])
-            is_ref, is_noop = plan["is_ref"], plan["is_noop"]
+        is_ref, is_noop = plan["is_ref"], plan["is_noop"]
         run = 1 - is_noop
 
         # Reference pictures alias forward=backward before the slices.
         fwd_eff = jnp.where(is_ref > 0, bwd, fwd)
         new = reconstruct_picture(
-            cur, fwd_eff, bwd, coeffs, nblocks, intra_blk,
-            src_sel, mv_h, mv_v, geom, jnp)
+            cur, fwd_eff, bwd, plan["coeffs"], plan["nblocks"],
+            plan["intra_blk"], plan["src_sel"], plan["mv_h"], plan["mv_v"],
+            geom, jnp)
         new = jnp.where(run > 0, new, cur)
 
         disp = jnp.where(is_ref > 0, bwd, new)
@@ -298,11 +315,48 @@ def make_scan_decoder(geom: FrameGeometry, packed: bool = False,
         bwd2 = jnp.where(ref, new, bwd)
         return (cur2, fwd2, bwd2), disp
 
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def make_dense_scan_decoder(geom: FrameGeometry, emit_rgba: bool = False):
+    """Jitted scan over dense stacked plans (the oracle transport):
+    (carry, stack_plans(...)) -> (carry, displays)."""
+    import jax
+
+    step = make_scan_step(geom, emit_rgba)
+
     @jax.jit
     def scan_decode(carry, plans):
         return jax.lax.scan(step, carry, plans)
 
     return scan_decode
+
+
+@functools.lru_cache(maxsize=None)
+def make_blob_scan_decoder(geom: FrameGeometry, window: int, km: int,
+                           ke: int, emit_rgba: bool = False):
+    """Jitted scan over one window blob (the production transport):
+    (carry, blob uint8[total_bytes]) -> (carry, displays).
+
+    carry = (current, forward, backward) flat uint8 frame buffers;
+    displays[t] = the frame the reference's Decode() would return after
+    picture t.  Compiles once per (geometry, window, capacity buckets).
+    The carry is donated — steady-state decode re-uses its buffers.
+    """
+    import jax
+
+    step = make_scan_step(geom, emit_rgba)
+
+    def scan_decode(carry, blob):
+        xs = unpack_blob_jax(blob, geom, window, km, ke)
+        return jax.lax.scan(step, carry, xs)
+
+    return jax.jit(scan_decode, donate_argnums=0)
+
+
+# Backwards-compatible alias (pre-blob-v2 name).
+make_scan_decoder = make_dense_scan_decoder
 
 
 class BatchVideoDecoder:
@@ -314,13 +368,20 @@ class BatchVideoDecoder:
     pictures per device round trip.
     """
 
-    def __init__(self, buf, window: int = 32, transport: str = "blob",
-                 use_native: bool = None):
+    def __init__(self, buf, window: int = None, transport: str = None,
+                 use_native: bool = None, stats=None, config=None):
         """`buf` is a Buffer (Python parse) or bytes (native parse).
 
         use_native: parse with the C++ parser (requires blob transport);
         default: native when available and the input is bytes.
+        stats: an optional utils.profiling.DecodeStats populated per
+        window (parse/dispatch timing, bytes transferred).
+        Unset arguments fall back to `config` (default config.DEFAULT).
         """
+        from ..config import DEFAULT
+        cfg = config if config is not None else DEFAULT
+        window = window if window is not None else cfg.window
+        transport = transport if transport is not None else cfg.transport
         from .. import native as native_mod
         if use_native is None:
             use_native = isinstance(buf, (bytes, bytearray)) and \
@@ -328,7 +389,7 @@ class BatchVideoDecoder:
         self.native = None
         self.video = None
         if use_native:
-            assert transport == "blob", "native parse emits blob rows"
+            assert transport == "blob", "native parse emits blob records"
             data = buf if isinstance(buf, (bytes, bytearray)) else \
                 bytes(buf.bytes())
             self.native = native_mod.NativeVideoParser(data)
@@ -341,14 +402,17 @@ class BatchVideoDecoder:
                 buf = b
             self.video = Video(buf, backend="plan")
         self.window = window
-        self.transport = transport   # "blob" | "packed" | "dense"
+        self.transport = transport   # "blob" | "dense"
+        self.stats = stats
         self._scan = None
-        self._scan_k = 0
+        self._scan_caps = None
         self._carry = None
         self._has_reference_frame = False
         self._types: list[int] = []
-        # Packed coefficient capacity, bucketed to limit recompiles.
-        self._k = 4096
+        # Sticky pool capacity buckets (monotone growth limits recompiles:
+        # the first I-heavy window sets the high-water mark).
+        self._km = _MIN_KM
+        self._ke = _MIN_KE
 
     @property
     def geom(self) -> FrameGeometry:
@@ -366,17 +430,20 @@ class BatchVideoDecoder:
 
     def _ensure_device_state(self):
         import jax.numpy as jnp
-        rebuild = self._scan is None or \
-            (self.transport == "blob" and self._scan_k != self._k)
-        if rebuild:
-            self._scan = make_scan_decoder(
-                self.geom,
-                packed=self.transport == "packed",
-                blob_k=self._k if self.transport == "blob" else 0)
-            self._scan_k = self._k
+        caps = (self._km, self._ke) if self.transport == "blob" else None
+        if self._scan is None or self._scan_caps != caps:
+            if self.transport == "blob":
+                self._scan = make_blob_scan_decoder(
+                    self.geom, self.window, self._km, self._ke)
+            else:
+                self._scan = make_dense_scan_decoder(self.geom)
+            self._scan_caps = caps
         if self._carry is None:
-            zero = jnp.zeros(self.geom.total_size, jnp.uint8)
-            self._carry = (zero, zero, zero)
+            # Three DISTINCT buffers: the scan donates its carry, and XLA
+            # rejects donating one buffer twice.
+            self._carry = tuple(
+                jnp.zeros(self.geom.total_size, jnp.uint8)
+                for _ in range(3))
 
     def parse_window(self):
         """Parse up to `window` picture plans from the stream."""
@@ -388,66 +455,108 @@ class BatchVideoDecoder:
             plans.append(item)
         return plans
 
-    def _native_window(self):
-        """Parse up to `window` blob rows from the native parser."""
-        rows, types = [], []
-        while len(rows) < self.window:
+    def _native_window_blob(self):
+        """Parse up to `window` pictures natively, emitting pool records
+        and packed metadata directly (no dense detour); returns
+        (blob | None, types)."""
+        geom = self.geom
+        mb = geom.mb_size
+        w = self.window
+        flags = np.zeros(w, np.int32)
+        mvh = np.zeros((w, mb), np.int16)
+        mvv = np.zeros((w, mb), np.int16)
+        nbcls = np.zeros((w, mb), np.uint16)
+        misc = np.zeros((w, mb), np.uint8)
+        main_chunks, esc_chunks, types = [], [], []
+        nm = ne = 0
+        for i in range(w):
             ptype = self.native.blob_prepare()
             if ptype == 0:
                 break
-            need = self.native.blob_coeff_count()
-            if need > self._k:
-                old_k = self._k
-                while self._k < need:
-                    self._k *= 2
-                rows = [relayout_blob_row(r, self.geom, old_k, self._k)
-                        for r in rows]
-            _offs, step_bytes = blob_layout(self.geom, self._k)
-            row = np.zeros(step_bytes, np.uint8)
-            self.native.blob_emit(row, self._k)
-            rows.append(row)
+            cm, ce = self.native.blob_counts()
+            mi = np.empty(max(cm, 1), np.uint32)
+            mv = np.empty(max(cm, 1), np.int16)
+            ei = np.empty(max(ce, 1), np.uint32)
+            ev = np.empty(max(ce, 1), np.int32)
+            f = self.native.blob_emit(mi, mv, ei, ev, mvh[i], mvv[i],
+                                      nbcls[i], misc[i],
+                                      idx_base=i * mb * 6 * 64)
+            flags[i] = f
+            main_chunks.append((mi[:cm], mv[:cm]))
+            esc_chunks.append((ei[:ce], ev[:ce]))
+            nm += cm
+            ne += ce
             types.append(ptype)
-        return rows, types
+        if not types:
+            return None, []
+
+        self._km = max(self._km, pool_bucket(nm, _MIN_KM))
+        self._ke = max(self._ke, pool_bucket(ne, _MIN_KE))
+        offs, total = blob_layout(geom, w, self._km, self._ke)
+        blob = np.zeros(total, np.uint8)
+
+        def put(name, arr):
+            off, size = offs[name]
+            raw = arr.reshape(-1).view(np.uint8)
+            assert raw.size <= size
+            blob[off:off + raw.size] = raw
+
+        put("flags", flags)
+        put("mv_h", mvh)
+        put("mv_v", mvv)
+        put("nbcls", nbcls)
+        put("mbmisc", misc)
+        put("main_idx", np.concatenate([c[0] for c in main_chunks]))
+        put("main_val", np.concatenate([c[1] for c in main_chunks]))
+        put("esc_idx", np.concatenate([c[0] for c in esc_chunks]))
+        put("esc_val", np.concatenate([c[1] for c in esc_chunks]))
+        return blob, types
 
     def decode_window(self) -> list[Optional[np.ndarray]]:
         """Parse + reconstruct one window; returns the displayed frames
         (flat uint8 device arrays; None entries are undisplayed)."""
+        import time
         if not self._has_header():
             return []
-        self._ensure_device_state()
 
+        t0 = time.perf_counter()
         if self.native is not None:
-            rows, types = self._native_window()
+            blob, types = self._native_window_blob()
+            plans = None
         else:
             plans = self.parse_window()
-            rows, types = plans, [t for _, t in plans]
+            types = [t for _, t in plans]
+            blob = None
+            if plans and self.transport == "blob":
+                nm, ne = count_pool_records(plans)
+                self._km = max(self._km, pool_bucket(nm, _MIN_KM))
+                self._ke = max(self._ke, pool_bucket(ne, _MIN_KE))
+                blob = pack_plans_blob(plans, self.geom, self.window,
+                                       self._km, self._ke)
+        t_parse = time.perf_counter() - t0
 
-        if not rows:
+        if not types:
             # End of stream: flush the pending reference frame.
+            self._ensure_device_state()
             if self._has_reference_frame and self._stream_ended() \
                     and self._types and self._types[-1] != PICTURE_TYPE_B:
                 self._has_reference_frame = False
                 return [self._carry[2]]   # backward
             return []
 
-        if self.native is not None:
-            self._ensure_device_state()
-            _offs, step_bytes = blob_layout(self.geom, self._k)
-            stacked = np.zeros((self.window, step_bytes), np.uint8)
-            stacked[:len(rows)] = rows
-        elif self.transport in ("blob", "packed"):
-            need = count_plan_coeffs(plans)
-            while self._k < need:
-                self._k *= 2   # grow the capacity bucket (recompile)
-            self._ensure_device_state()
-            if self.transport == "blob":
-                stacked = pack_plans_blob(
-                    plans, self.geom, self.window, self._k)
-            else:
-                stacked = pack_plans(plans, self.geom, self.window, self._k)
+        self._ensure_device_state()
+        t0 = time.perf_counter()
+        if self.transport == "blob":
+            self._carry, disps = self._scan(self._carry, blob)
+            nbytes = blob.nbytes
         else:
             stacked = stack_plans(plans, self.geom, self.window)
-        self._carry, disps = self._scan(self._carry, stacked)
+            self._carry, disps = self._scan(self._carry, stacked)
+            nbytes = sum(a.nbytes for a in stacked.values())
+        t_disp = time.perf_counter() - t0
+
+        if self.stats is not None:
+            self.stats.record_window(len(types), nbytes, t_parse, t_disp)
 
         out = []
         for i, ptype in enumerate(types):

@@ -40,6 +40,15 @@ class DecodeStats:
         finally:
             self.device_seconds += time.time() - t
 
+    def record_window(self, pictures: int, nbytes: int,
+                      parse_seconds: float, dispatch_seconds: float):
+        """One batched-decoder window: parse cost, transport bytes and
+        dispatch cost (called by BatchVideoDecoder.decode_window)."""
+        self.frames += pictures
+        self.transfer_bytes += nbytes
+        self.host_seconds += parse_seconds
+        self.device_seconds += dispatch_seconds
+
     def summary(self) -> dict:
         wall = time.time() - self._t0
         return {

@@ -112,12 +112,17 @@ class _PicturePlan:
 class Video:
     """MPEG-1 video decoder: pulls an ES from `buf`, yields Frames."""
 
-    def __init__(self, buf: Buffer, backend: str = "jax",
-                 parser: str = "auto"):
+    def __init__(self, buf: Buffer, backend: str = None,
+                 parser: str = None, config=None):
         """`backend`: "jax" (device reconstruct), "numpy" (host oracle) or
         "plan" (parse only).  `parser`: "python", "native" (C++) or "auto"
-        (native when available, python otherwise).
+        (native when available, python otherwise).  Unset arguments fall
+        back to `config` (default config.DEFAULT).
         """
+        from .config import DEFAULT
+        cfg = config if config is not None else DEFAULT
+        backend = backend if backend is not None else cfg.backend
+        parser = parser if parser is not None else cfg.parser
         self.buf = buf
         self.backend = backend
 

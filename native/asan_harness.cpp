@@ -1,0 +1,130 @@
+// ASan/UBSan harness for the native parser (SURVEY §5 sanitizers row).
+//
+// Drives every C-ABI entry point over a stream supplied on the command
+// line: blob prepare/counts/emit, dense parse, host decode, and the MP2
+// parser — the same call sequences the Python bindings make.  Build:
+//
+//   g++ -O1 -g -std=c++17 -fsanitize=address,undefined \
+//       native/asan_harness.cpp -o /tmp/mpeg_asan
+//   /tmp/mpeg_asan <file.m1v|file.mp2> [mode]
+//
+// mode: blob (default) | dense | host | audio | all
+// tools/run_asan.sh runs it over the test fixtures plus truncated and
+// bit-flipped variants.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "parser.cpp"
+
+static std::vector<uint8_t> read_file(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) { perror(path); exit(2); }
+    fseek(f, 0, SEEK_END);
+    long n = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(n);
+    if (fread(buf.data(), 1, n, f) != (size_t)n) { perror("read"); exit(2); }
+    fclose(f);
+    return buf;
+}
+
+static int run_blob(const std::vector<uint8_t>& data) {
+    void* p = vp_create();
+    vp_feed(p, data.data(), (int64_t)data.size());
+    vp_signal_end(p);
+    if (!vp_has_header(p)) { vp_destroy(p); return 0; }
+    int mb = ((vp_width(p) + 15) >> 4) * ((vp_height(p) + 15) >> 4);
+    std::vector<int16_t> mvh(mb), mvv(mb);
+    std::vector<uint16_t> nbcls(mb);
+    std::vector<uint8_t> misc(mb);
+    int pics = 0;
+    while (vp_parse_blob_prepare(p) != 0) {
+        int64_t counts[2];
+        vp_blob_counts(p, counts);
+        std::vector<uint32_t> mi(counts[0] ? counts[0] : 1);
+        std::vector<int16_t> mv(counts[0] ? counts[0] : 1);
+        std::vector<uint32_t> ei(counts[1] ? counts[1] : 1);
+        std::vector<int32_t> ev(counts[1] ? counts[1] : 1);
+        vp_blob_emit(p, mi.data(), mv.data(), ei.data(), ev.data(),
+                     mvh.data(), mvv.data(), nbcls.data(), misc.data(),
+                     (int64_t)(pics % 8) * mb * 6 * 64);
+        pics++;
+    }
+    vp_destroy(p);
+    return pics;
+}
+
+static int run_dense(const std::vector<uint8_t>& data) {
+    void* p = vp_create();
+    vp_feed(p, data.data(), (int64_t)data.size());
+    vp_signal_end(p);
+    if (!vp_has_header(p)) { vp_destroy(p); return 0; }
+    int mb = ((vp_width(p) + 15) >> 4) * ((vp_height(p) + 15) >> 4);
+    std::vector<int32_t> coeffs((size_t)mb * 6 * 64), nb(mb * 6),
+        in(mb * 6), sel(mb), mvh(mb), mvv(mb);
+    int pics = 0;
+    for (;;) {
+        std::memset(coeffs.data(), 0, coeffs.size() * 4);
+        std::memset(nb.data(), 0, nb.size() * 4);
+        std::memset(in.data(), 0, in.size() * 4);
+        std::memset(sel.data(), 0, sel.size() * 4);
+        std::memset(mvh.data(), 0, mvh.size() * 4);
+        std::memset(mvv.data(), 0, mvv.size() * 4);
+        if (vp_parse_picture(p, coeffs.data(), nb.data(), in.data(),
+                             sel.data(), mvh.data(), mvv.data()) == 0)
+            break;
+        pics++;
+    }
+    vp_destroy(p);
+    return pics;
+}
+
+static int run_host(const std::vector<uint8_t>& data) {
+    void* p = vp_create();
+    vp_feed(p, data.data(), (int64_t)data.size());
+    vp_signal_end(p);
+    int frames = 0;
+    if (vp_has_header(p)) {
+        std::vector<uint8_t> out(vp_total_size(p));
+        while (vp_host_decode(p, out.data())) frames++;
+    }
+    vp_destroy(p);
+    return frames;
+}
+
+static int run_audio(const std::vector<uint8_t>& data) {
+    void* p = ap_create();
+    ap_feed(p, data.data(), (int64_t)data.size());
+    ap_signal_end(p);
+    int frames = 0;
+    if (ap_has_header(p)) {
+        std::vector<int32_t> out(36 * 2 * 32);
+        while (ap_parse_frame(p, out.data())) frames++;
+    }
+    ap_destroy(p);
+    return frames;
+}
+
+int main(int argc, char** argv) {
+    if (argc < 2) {
+        fprintf(stderr, "usage: %s <stream file> [blob|dense|host|audio|all]\n",
+                argv[0]);
+        return 2;
+    }
+    auto data = read_file(argv[1]);
+    std::string mode = argc > 2 ? argv[2] : "blob";
+    if (mode == "blob" || mode == "all")
+        printf("blob: %d pictures\n", run_blob(data));
+    if (mode == "dense" || mode == "all")
+        printf("dense: %d pictures\n", run_dense(data));
+    if (mode == "host" || mode == "all")
+        printf("host: %d frames\n", run_host(data));
+    if (mode == "audio" || mode == "all")
+        printf("audio: %d frames\n", run_audio(data));
+    return 0;
+}

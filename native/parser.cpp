@@ -271,11 +271,61 @@ struct VideoParser {
     int32_t generation = 0;
     int last_ptype = 0;
 
+    // Pool-record tracking (blob transport): per-block record counts are
+    // maintained DURING the parse so vp_blob_counts is O(1) and
+    // vp_blob_emit only touches coded blocks — the v1 full rescan of
+    // every dirty MB's 384 coefficients was ~40% of the parse cost.
+    bool track_pool = false;
+    std::vector<int32_t> coded_stamp;   // per-block generation stamp
+    std::vector<int32_t> coded_blocks;  // block ids (mb*6+b) this picture
+    std::vector<uint16_t> blk_main, blk_esc;
+    int64_t pool_main = 0, pool_esc = 0;
+
     void mark_dirty(int mb) {
         if (dirty_stamp.empty()) return;   // dense mode: no tracking
         if (mb >= 0 && mb < mb_size && dirty_stamp[mb] != generation) {
             dirty_stamp[mb] = generation;
             dirty_mbs.push_back(mb);
+        }
+    }
+
+    // Count this block's (main, escape) pool records from its current
+    // content; a re-touched block replaces its previous counts.
+    void note_coded_block(int bid) {
+        if (coded_stamp[bid] != generation) {
+            coded_stamp[bid] = generation;
+            coded_blocks.push_back(bid);
+        } else {
+            pool_main -= blk_main[bid];
+            pool_esc -= blk_esc[bid];
+        }
+        const int32_t* c = own_coeffs.data() + (int64_t)bid * 64;
+        int m = 0, e = 0;
+        for (int j = 0; j < 64; j++) {
+            int32_t v = c[j];
+            if (v == 0) continue;
+            int32_t pm = PREMULTIPLIER[j];
+            int32_t q = v / pm;
+            if (q * pm == v && q >= -32768 && q <= 32767) m++;
+            else e++;
+        }
+        blk_main[bid] = (uint16_t)m;
+        blk_esc[bid] = (uint16_t)e;
+        pool_main += m;
+        pool_esc += e;
+    }
+
+    // A new prediction erases this MB's residual stores (nblocks -> 0),
+    // so its blocks no longer emit records.
+    void note_predicted(int mb) {
+        for (int b = 0; b < 6; b++) {
+            int bid = mb * 6 + b;
+            if (coded_stamp[bid] == generation) {
+                pool_main -= blk_main[bid];
+                pool_esc -= blk_esc[bid];
+                blk_main[bid] = 0;
+                blk_esc[bid] = 0;
+            }
         }
     }
 
@@ -295,6 +345,9 @@ struct VideoParser {
             own_mvh.assign(mb_size, 0);
             own_mvv.assign(mb_size, 0);
             dirty_stamp.assign(mb_size, -1);
+            coded_stamp.assign((size_t)mb_size * 6, -1);
+            blk_main.assign((size_t)mb_size * 6, 0);
+            blk_esc.assign((size_t)mb_size * 6, 0);
         }
     }
 
@@ -377,12 +430,13 @@ struct VideoParser {
     }
 
     void predict_macroblock() {
+        // *2, not <<1: motion vectors go negative (UB pre-C++20).
         int fh = fwd.h, fv = fwd.v;
-        if (fwd.full_px) { fh <<= 1; fv <<= 1; }
+        if (fwd.full_px) { fh *= 2; fv *= 2; }
         int sel, mh, mv;
         if (picture_type == PIC_B) {
             int bh = bwd.h, bv = bwd.v;
-            if (bwd.full_px) { bh <<= 1; bv <<= 1; }
+            if (bwd.full_px) { bh *= 2; bv *= 2; }
             if (fwd.is_set && !bwd.is_set) { sel = 1; mh = fh; mv = fv; }
             else { sel = 2; mh = bh; mv = bv; }
         } else {
@@ -396,6 +450,7 @@ struct VideoParser {
         // New prediction erases earlier residuals/intra stores of this MB.
         std::memset(nblocks + mb_address * 6, 0, 6 * sizeof(int32_t));
         std::memset(intra_blk + mb_address * 6, 0, 6 * sizeof(int32_t));
+        if (track_pool) note_predicted(mb_address);
     }
 
     void decode_block(int block) {
@@ -419,7 +474,9 @@ struct VideoParser {
                 block_data[0] = predictor;
             }
             dc_pred[plane_index] = block_data[0];
-            block_data[0] <<= 3 + 5;
+            // *256, not <<(3+5): the junk-stream DC can be negative, and
+            // Go's shift semantics are multiplication (video.go:668).
+            block_data[0] *= 1 << (3 + 5);
             quant = intra_q;
             n = 1;
         } else {
@@ -449,7 +506,7 @@ struct VideoParser {
             int pos = ZIG_ZAG[n] & 63;
             n++;
 
-            level <<= 1;
+            level *= 2;   // not <<: level may be negative (UB pre-C++20)
             if (!mb_intra) level += level < 0 ? -1 : 1;
             level = (level * quantizer_scale * quant[pos]) >> 4;
             if ((level & 1) == 0) level += level > 0 ? -1 : 1;
@@ -465,6 +522,7 @@ struct VideoParser {
                         block_data, 64 * sizeof(int32_t));
             nblocks[mb_address * 6 + block] = n;
             intra_blk[mb_address * 6 + block] = mb_intra ? 1 : 0;
+            if (track_pool) note_coded_block(mb_address * 6 + block);
         }
         // Partial clear exactly like the reference (video.go:777,790-796).
         if (n == 1) block_data[0] = 0;
@@ -698,6 +756,7 @@ struct VideoParser {
         if (!has_header()) return 0;
         ensure_host_frames();
         ensure_own_plan();
+        track_pool = false;
         coeffs = own_coeffs.data();
         nblocks = own_nblocks.data();
         intra_blk = own_intra.data();
@@ -768,8 +827,6 @@ struct VideoParser {
         }
     }
 };
-
-struct CoeffRecord { int32_t bid; uint8_t pos; int32_t val; };
 
 // ---------------------------------------------------------------------------
 // MP2 audio parser (mirrors mpeg_tpu/audio.py field-for-field); emits the
@@ -1037,6 +1094,23 @@ void vp_rewind(void* p) {
     v->host_has_ref = false;
     v->host_flushed = false;
     v->last_ptype = 0;
+    // Discard any prepared-but-unemitted plan: clear touched blocks so
+    // stale coefficients cannot leak into post-rewind pictures.
+    for (int bid : v->coded_blocks)
+        std::memset(v->own_coeffs.data() + (int64_t)bid * 64, 0,
+                    64 * sizeof(int32_t));
+    for (int mb : v->dirty_mbs) {
+        std::memset(v->own_nblocks.data() + mb * 6, 0, 6 * sizeof(int32_t));
+        std::memset(v->own_intra.data() + mb * 6, 0, 6 * sizeof(int32_t));
+        v->own_sel[mb] = 0;
+        v->own_mvh[mb] = 0;
+        v->own_mvv[mb] = 0;
+    }
+    v->dirty_mbs.clear();
+    v->coded_blocks.clear();
+    v->pool_main = 0;
+    v->pool_esc = 0;
+    v->generation++;
 }
 
 int vp_has_header(void* p) {
@@ -1050,16 +1124,18 @@ int vp_height(void* p) { return ((VideoParser*)p)->height; }
 double vp_framerate(void* p) { return ((VideoParser*)p)->frame_rate; }
 
 // Two-phase blob parse: prepare parses one picture into internal plan
-// storage and returns picture_type (0 = need data / end); coeff_count
-// returns the number of nonzero coefficient records; emit writes one blob
-// row (pre-zeroed by the caller) using the field offsets passed from
-// Python's blob_layout (same order as BLOB_FIELDS) and clears the
-// internal plan for the next picture.
+// storage, tracking (main, escape) pool-record counts as blocks are
+// coded, and returns picture_type (0 = need data / end); counts returns
+// the two totals; emit writes the picture's pool records (main records
+// carry the exact int16 quotient value/premultiplier[pos]; everything
+// else escapes as int32) and packed per-MB metadata into caller-sized
+// arrays, then clears the internal plan for the next picture.
 int vp_parse_blob_prepare(void* p) {
     auto* v = (VideoParser*)p;
     v->sync();
     if (!v->has_header()) return 0;
     v->ensure_own_plan();
+    v->track_pool = true;
     v->coeffs = v->own_coeffs.data();
     v->nblocks = v->own_nblocks.data();
     v->intra_blk = v->own_intra.data();
@@ -1076,61 +1152,63 @@ int vp_parse_blob_prepare(void* p) {
     return v->last_ptype;
 }
 
-int64_t vp_blob_coeff_count(void* p) {
+void vp_blob_counts(void* p, int64_t* out) {
     auto* v = (VideoParser*)p;
-    int64_t n = 0;
-    for (int mb : v->dirty_mbs) {
-        const int32_t* c = v->own_coeffs.data() + (int64_t)mb * 6 * 64;
-        for (int j = 0; j < 6 * 64; j++) n += c[j] != 0;
-    }
-    return n;
+    out[0] = v->pool_main;
+    out[1] = v->pool_esc;
 }
 
-// offsets: int64[9] byte offsets for BLOB_FIELDS
-// (coeff_bid, coeff_pos, coeff_val, mv_h, mv_v, nblocks, intra_blk,
-//  src_sel, flags); bid_bytes = 2 or 4.
-int64_t vp_blob_emit(void* p, uint8_t* row, int64_t k,
-                     const int64_t* offs, int bid_bytes) {
+// Emit the prepared picture.  main/esc arrays are sized by the caller
+// from vp_blob_counts (any slack is zero-padded: index-0/value-0 records
+// are no-ops on the device scatter).  mvh/mvv/nbcls/misc point at this
+// picture's metadata slot in the window blob; idx_base is
+// picture_index * mb_size * 6 * 64.  Returns the flags word
+// (bit0 = is_ref, bit1 = valid).
+int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
+                 uint32_t* esc_idx, int32_t* esc_val,
+                 int16_t* mvh, int16_t* mvv, uint16_t* nbcls, uint8_t* misc,
+                 int64_t idx_base) {
     auto* v = (VideoParser*)p;
-    uint8_t* bid_out = row + offs[0];
-    uint8_t* pos_out = row + offs[1];
-    uint8_t* val_out = row + offs[2];
-    int16_t* mvh_out = (int16_t*)(row + offs[3]);
-    int16_t* mvv_out = (int16_t*)(row + offs[4]);
-    int8_t* nb_out = (int8_t*)(row + offs[5]);
-    int8_t* in_out = (int8_t*)(row + offs[6]);
-    int8_t* sel_out = (int8_t*)(row + offs[7]);
-    int32_t* flags_out = (int32_t*)(row + offs[8]);
-
-    int64_t n = 0;
-    for (int mb : v->dirty_mbs) {
-        sel_out[mb] = (int8_t)v->own_sel[mb];
-        mvh_out[mb] = (int16_t)v->own_mvh[mb];
-        mvv_out[mb] = (int16_t)v->own_mvv[mb];
-        for (int b = 0; b < 6; b++) {
-            nb_out[mb * 6 + b] = (int8_t)v->own_nblocks[mb * 6 + b];
-            in_out[mb * 6 + b] = (int8_t)v->own_intra[mb * 6 + b];
-        }
-        int32_t* c = v->own_coeffs.data() + (int64_t)mb * 6 * 64;
-        for (int j = 0; j < 6 * 64; j++) {
-            int32_t val = c[j];
-            if (val == 0) continue;
-            if (n < k) {
-                int32_t bid = mb * 6 + (j >> 6);
-                if (bid_bytes == 2) {
-                    ((uint16_t*)bid_out)[n] = (uint16_t)bid;
+    int64_t nm = 0, ne = 0;
+    for (int bid : v->coded_blocks) {
+        int32_t* c = v->own_coeffs.data() + (int64_t)bid * 64;
+        if (v->own_nblocks[bid] > 0) {
+            for (int j = 0; j < 64; j++) {
+                int32_t val = c[j];
+                if (val == 0) continue;
+                uint32_t idx = (uint32_t)(idx_base + (int64_t)bid * 64 + j);
+                int32_t pm = PREMULTIPLIER[j];
+                int32_t q = val / pm;
+                if (q * pm == val && q >= -32768 && q <= 32767) {
+                    main_idx[nm] = idx;
+                    main_val[nm] = (int16_t)q;
+                    nm++;
                 } else {
-                    ((uint32_t*)bid_out)[n] = (uint32_t)bid;
+                    esc_idx[ne] = idx;
+                    esc_val[ne] = val;
+                    ne++;
                 }
-                pos_out[n] = (uint8_t)(j & 63);
-                val_out[3 * n + 0] = (uint8_t)(val & 0xFF);
-                val_out[3 * n + 1] = (uint8_t)((val >> 8) & 0xFF);
-                val_out[3 * n + 2] = (uint8_t)((val >> 16) & 0xFF);
             }
-            n++;
         }
-        // clear the internal plan for the next picture
-        std::memset(c, 0, 6 * 64 * sizeof(int32_t));
+        std::memset(c, 0, 64 * sizeof(int32_t));
+    }
+    for (; nm < v->pool_main; nm++) { main_idx[nm] = 0; main_val[nm] = 0; }
+    for (; ne < v->pool_esc; ne++) { esc_idx[ne] = 0; esc_val[ne] = 0; }
+
+    for (int mb : v->dirty_mbs) {
+        mvh[mb] = (int16_t)v->own_mvh[mb];
+        mvv[mb] = (int16_t)v->own_mvv[mb];
+        uint16_t nc = 0;
+        uint8_t ms = 0;
+        for (int b = 0; b < 6; b++) {
+            int n = v->own_nblocks[mb * 6 + b];
+            int cls = n <= 0 ? 0 : (n == 1 ? 1 : (n < 10 ? 2 : 3));
+            nc |= (uint16_t)(cls << (2 * b));
+            if (v->own_intra[mb * 6 + b]) ms |= (uint8_t)(1 << b);
+        }
+        ms |= (uint8_t)(v->own_sel[mb] << 6);
+        nbcls[mb] = nc;
+        misc[mb] = ms;
         std::memset(v->own_nblocks.data() + mb * 6, 0, 6 * sizeof(int32_t));
         std::memset(v->own_intra.data() + mb * 6, 0, 6 * sizeof(int32_t));
         v->own_sel[mb] = 0;
@@ -1138,16 +1216,19 @@ int64_t vp_blob_emit(void* p, uint8_t* row, int64_t k,
         v->own_mvv[mb] = 0;
     }
     bool is_ref = v->last_ptype == PIC_I || v->last_ptype == PIC_P;
-    flags_out[0] = (is_ref ? 1 : 0) | 2;
     v->dirty_mbs.clear();
+    v->coded_blocks.clear();
+    v->pool_main = 0;
+    v->pool_esc = 0;
     v->generation++;
-    return n;   // records written (caller must ensure n <= k)
+    return (is_ref ? 1 : 0) | 2;
 }
 
 int vp_parse_picture(void* p, int32_t* coeffs, int32_t* nblocks,
                      int32_t* intra_blk, int32_t* src_sel,
                      int32_t* mv_h, int32_t* mv_v) {
     auto* v = (VideoParser*)p;
+    v->track_pool = false;
     v->coeffs = coeffs;
     v->nblocks = nblocks;
     v->intra_blk = intra_blk;

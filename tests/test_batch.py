@@ -33,6 +33,59 @@ def test_batch_scan_matches_golden(mpeg1video_path):
         f"batch hash {h.sum64():#018x} over {frames} frames"
 
 
+def test_blob_escape_lane():
+    """Values with no exact int16 premultiplier quotient (junk-stream
+    leaks, huge intra DCs) must round-trip through the escape lane: the
+    blob transport has to reconstruct EXACTLY what the dense transport
+    does for any int32 coefficients."""
+    import jax.numpy as jnp
+    from mpeg_tpu.ops.video_recon import FrameGeometry
+    from mpeg_tpu.parallel.batch import (
+        count_pool_records, make_blob_scan_decoder, make_dense_scan_decoder,
+        pack_plans_blob, pool_bucket, stack_plans,
+    )
+    from mpeg_tpu.tables import (
+        PICTURE_TYPE_B, PICTURE_TYPE_INTRA, PICTURE_TYPE_PREDICTIVE,
+    )
+    from mpeg_tpu.video import _PicturePlan
+
+    geom = FrameGeometry.for_size(64, 48)
+    mb = geom.mb_size
+    rng = np.random.default_rng(3)
+    window = 3
+    plans = []
+    for t, ptype in enumerate([PICTURE_TYPE_INTRA, PICTURE_TYPE_PREDICTIVE,
+                               PICTURE_TYPE_B]):
+        p = _PicturePlan(mb)
+        p.coeffs[:] = rng.integers(-3000, 3000, (mb, 6, 64))
+        p.coeffs[0, 0, 0] = 5            # not divisible by premult 32
+        p.coeffs[0, 0, 63] = -7          # premult 2: trunc quotient inexact
+        p.coeffs[1, 1, 0] = 1 << 22      # quotient exceeds int16
+        p.nblocks[:] = rng.integers(0, 30, (mb, 6))
+        if ptype == PICTURE_TYPE_INTRA:
+            p.intra_blk[:] = 1
+        else:
+            p.src_sel[:] = rng.integers(0, 3, mb)
+            p.mv_h[:] = rng.integers(-6, 7, mb)
+            p.mv_v[:] = rng.integers(-6, 7, mb)
+        plans.append((p, ptype))
+
+    nm, ne = count_pool_records(plans)
+    assert ne > 0, "escape lane not exercised"
+    km, ke = pool_bucket(nm, 4096), pool_bucket(ne, 64)
+    blob = pack_plans_blob(plans, geom, window, km, ke)
+
+    carry = tuple(jnp.zeros(geom.total_size, jnp.uint8) for _ in range(3))
+    _, disps_blob = make_blob_scan_decoder(geom, window, km, ke)(carry, blob)
+
+    carry = tuple(jnp.zeros(geom.total_size, jnp.uint8) for _ in range(3))
+    _, disps_dense = make_dense_scan_decoder(geom)(
+        carry, stack_plans(plans, geom, window))
+
+    np.testing.assert_array_equal(np.asarray(disps_blob),
+                                  np.asarray(disps_dense))
+
+
 def test_batch_scan_rgba(mpeg1video_path):
     """Fused device YCbCr->RGB output matches Frame.rgba() byte-for-byte."""
     import io
