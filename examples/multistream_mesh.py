@@ -41,11 +41,14 @@ def main():
     assert all(v.has_header() for v in videos)
     geom = videos[0].geom
 
+    from mpeg_tpu.parallel.batch import count_pool_records, pool_bucket
+
     mesh = sh.make_mesh(devices)
-    decode = sh.make_sharded_scan_decoder(geom, mesh)
     carry = sh.zero_carry(geom, n, mesh)
 
     window = 8
+    km, ke = 4096, 64   # sticky pool buckets (grow on demand)
+    decode = None
     total_frames = 0
     while True:
         per_stream = []
@@ -57,10 +60,17 @@ def main():
             per_stream.append(plans)
         if not any(per_stream):
             break
-        stacked = sh.stack_stream_plans(per_stream, geom, window)
-        carry, disps, px = decode(carry, stacked)
+        nm = max(count_pool_records(p)[0] for p in per_stream)
+        ne = max(count_pool_records(p)[1] for p in per_stream)
+        if pool_bucket(nm, km) != km or pool_bucket(max(ne, 1), ke) != ke \
+                or decode is None:
+            km, ke = pool_bucket(nm, km), pool_bucket(max(ne, 1), ke)
+            decode = sh.make_sharded_blob_decoder(geom, mesh, window, km, ke)
+        blobs = sh.stack_stream_blobs(per_stream, geom, window, km, ke)
+        carry, disps, px = decode(carry, blobs)
         total_frames += sum(len(p) for p in per_stream)
-        print(f"window: decoded {int(px):>12,} px across the mesh")
+        print(f"window: decoded {int(px):>12,} px across the mesh "
+              f"({blobs.nbytes / 1e6:.2f} MB h2d)")
 
     print(f"total: {total_frames} pictures over {n} streams")
 
