@@ -286,10 +286,27 @@ def unpack_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
 # Scan decoders
 # --------------------------------------------------------------------------
 
-def make_scan_step(geom: FrameGeometry, emit_rgba: bool = False):
+def make_scan_step(geom: FrameGeometry, emit_rgba: bool = False,
+                   recon: str = "xla"):
     """The per-picture scan step over dense plan tensors (shared by the
-    dense and blob decoders and the sharded mesh decoder)."""
+    dense and blob decoders and the sharded mesh decoder).
+
+    recon: "xla" (sliced-gather formulation, the default — measured
+    faster on v5e) or "pallas" (the fused VMEM kernel,
+    ops/pallas_kernels.reconstruct_picture_pallas); both bit-exact.
+    """
     import jax.numpy as jnp
+
+    def reconstruct(cur, fwd_eff, bwd, plan):
+        args = (cur, fwd_eff, bwd, plan["coeffs"], plan["nblocks"],
+                plan["intra_blk"], plan["src_sel"], plan["mv_h"],
+                plan["mv_v"], geom)
+        if recon == "pallas":
+            from ..ops.pallas_kernels import reconstruct_picture_pallas
+            import jax
+            interp = jax.devices()[0].platform != "tpu"
+            return reconstruct_picture_pallas(*args, interpret=interp)
+        return reconstruct_picture(*args, jnp)
 
     def step(carry, plan):
         cur, fwd, bwd = carry
@@ -298,10 +315,7 @@ def make_scan_step(geom: FrameGeometry, emit_rgba: bool = False):
 
         # Reference pictures alias forward=backward before the slices.
         fwd_eff = jnp.where(is_ref > 0, bwd, fwd)
-        new = reconstruct_picture(
-            cur, fwd_eff, bwd, plan["coeffs"], plan["nblocks"],
-            plan["intra_blk"], plan["src_sel"], plan["mv_h"], plan["mv_v"],
-            geom, jnp)
+        new = reconstruct(cur, fwd_eff, bwd, plan)
         new = jnp.where(run > 0, new, cur)
 
         disp = jnp.where(is_ref > 0, bwd, new)
@@ -335,7 +349,8 @@ def make_dense_scan_decoder(geom: FrameGeometry, emit_rgba: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def make_blob_scan_decoder(geom: FrameGeometry, window: int, km: int,
-                           ke: int, emit_rgba: bool = False):
+                           ke: int, emit_rgba: bool = False,
+                           recon: str = "xla"):
     """Jitted scan over one window blob (the production transport):
     (carry, blob uint8[total_bytes]) -> (carry, displays).
 
@@ -346,7 +361,7 @@ def make_blob_scan_decoder(geom: FrameGeometry, window: int, km: int,
     """
     import jax
 
-    step = make_scan_step(geom, emit_rgba)
+    step = make_scan_step(geom, emit_rgba, recon)
 
     def scan_decode(carry, blob):
         xs = unpack_blob_jax(blob, geom, window, km, ke)

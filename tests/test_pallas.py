@@ -24,3 +24,90 @@ def test_idct_pallas_parity():
     want = vr.idct_batch(coeffs, nblocks, np)
     got = np.asarray(idct_batch_pallas(coeffs, nblocks, interpret=True))
     assert np.array_equal(got, want)
+
+
+def _random_plan(geom, rng, ptype):
+    """Adversarial random plan: mixed MC modes, out-of-range junk MVs,
+    sparse/full/DC IDCT classes, intra/predicted mixes."""
+    from mpeg_tpu.video import _PicturePlan
+    mb = geom.mb_size
+    p = _PicturePlan(mb)
+    p.coeffs[:] = rng.integers(-2047 * 32, 2047 * 32, (mb, 6, 64))
+    p.nblocks[:] = rng.integers(0, 65, (mb, 6))
+    if ptype == 1:
+        p.intra_blk[:] = rng.integers(0, 2, (mb, 6))
+    p.src_sel[:] = rng.integers(0, 3, mb)
+    p.mv_h[:] = rng.integers(-40, 41, mb)
+    p.mv_v[:] = rng.integers(-40, 41, mb)
+    # a few junk-stream MVs far outside the frame (CLIP-mode parity)
+    junk = rng.integers(0, mb, max(2, mb // 16))
+    p.mv_h[junk] = rng.integers(-3000, 3000, junk.size)
+    p.mv_v[junk] = rng.integers(-3000, 3000, junk.size)
+    return p
+
+
+def test_fused_reconstruct_pallas_parity():
+    """The fused MC+residual+clamp kernel must match the XLA sliced-gather
+    reconstruction byte-for-byte, including junk MVs and the full
+    rounding family (copy / avgH / avgV / bilinear)."""
+    import jax.numpy as jnp
+    from mpeg_tpu.ops.pallas_kernels import reconstruct_picture_pallas
+
+    geom = vr.FrameGeometry.for_size(80, 48)
+    rng = np.random.default_rng(11)
+
+    cur = rng.integers(0, 256, geom.total_size).astype(np.uint8)
+    fwd = rng.integers(0, 256, geom.total_size).astype(np.uint8)
+    bwd = rng.integers(0, 256, geom.total_size).astype(np.uint8)
+
+    for trial in range(3):
+        p = _random_plan(geom, rng, ptype=1 + (trial % 2))
+        args = (cur, fwd, bwd, p.coeffs, p.nblocks, p.intra_blk,
+                p.src_sel, p.mv_h, p.mv_v, geom)
+        want = vr.reconstruct_picture(*args, np)
+        got = np.asarray(reconstruct_picture_pallas(
+            *args, interpret=True))
+        assert np.array_equal(got, want), \
+            f"trial {trial}: {np.flatnonzero(got != want)[:8]}"
+        cur, fwd, bwd = got, bwd, cur   # evolve state across trials
+
+
+def test_fused_reconstruct_pallas_golden(mpeg1video_path):
+    """Full fixture decode through the Pallas fused reconstruct (blob
+    scan with recon='pallas') reproduces the golden hash."""
+    import mpeg_tpu as mpeg
+    import jax.numpy as jnp
+    from mpeg_tpu.parallel.batch import (
+        count_pool_records, make_blob_scan_decoder, pack_plans_blob,
+        pool_bucket,
+    )
+    from mpeg_tpu.tables import PICTURE_TYPE_B
+    from mpeg_tpu.utils import Fnv1a64
+
+    buf = mpeg.Buffer(open(mpeg1video_path, "rb"))
+    buf.set_load_callback(buf.load_reader_callback)
+    video = mpeg.Video(buf, backend="plan")
+    assert video.has_header()
+    geom = video.geom
+
+    # First 24 pictures are plenty for a hash cross-check (interpret-mode
+    # Pallas on CPU is slow; the full-stream golden runs on the XLA path).
+    plans = []
+    while len(plans) < 24:
+        item = video.parse_next_plan()
+        if item is None:
+            break
+        plans.append(item)
+    window = len(plans)
+    nm, ne = count_pool_records(plans)
+    km, ke = pool_bucket(nm, 4096), pool_bucket(max(ne, 1), 64)
+    blob = pack_plans_blob(plans, geom, window, km, ke)
+
+    def run(recon):
+        scan = make_blob_scan_decoder(geom, window, km, ke, recon=recon)
+        carry = tuple(jnp.zeros(geom.total_size, jnp.uint8)
+                      for _ in range(3))
+        _, disps = scan(carry, blob)
+        return np.asarray(disps)
+
+    np.testing.assert_array_equal(run("pallas"), run("xla"))
