@@ -505,20 +505,3 @@ def make_synthesize_parallel_jax():
         return u, new_hist
 
     return synthesize
-    """Batched synthesis: [F, 36, 2, 32] i32 -> [F, 36, 2, 32] f32.
-
-    One dispatch for F frames (a (F*36)-step scan carrying the V rings) —
-    amortizes dispatch latency for throughput decode.  Also vmaps cleanly
-    over a leading stream axis.
-    """
-    import jax
-
-    frame_fn = make_synthesize_frame_jax()
-
-    @jax.jit
-    def synthesize(samples, v, v_pos):
-        f, t, ch, sb = samples.shape
-        out, v, v_pos = frame_fn(samples.reshape(f * t, ch, sb), v, v_pos)
-        return out.reshape(f, t, ch, sb), v, v_pos
-
-    return synthesize
