@@ -83,6 +83,46 @@ def load() -> ctypes.CDLL:
     lib.vp_host_decode.argtypes = [ctypes.c_void_p, p_u8]
     lib.vp_host_decode.restype = ctypes.c_int
 
+    lib.dx_create.restype = ctypes.c_void_p
+    lib.dx_destroy.argtypes = [ctypes.c_void_p]
+    lib.dx_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                            ctypes.c_int64]
+    lib.dx_signal_end.argtypes = [ctypes.c_void_p]
+    lib.dx_has_headers.argtypes = [ctypes.c_void_p]
+    lib.dx_has_headers.restype = ctypes.c_int
+    lib.dx_num_video_streams.argtypes = [ctypes.c_void_p]
+    lib.dx_num_video_streams.restype = ctypes.c_int
+    lib.dx_num_audio_streams.argtypes = [ctypes.c_void_p]
+    lib.dx_num_audio_streams.restype = ctypes.c_int
+    lib.dx_system_clock_ref.argtypes = [ctypes.c_void_p]
+    lib.dx_system_clock_ref.restype = ctypes.c_double
+    lib.dx_decode.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64)]
+    lib.dx_decode.restype = ctypes.c_int
+    lib.dx_payload.argtypes = [ctypes.c_void_p]
+    lib.dx_payload.restype = ctypes.POINTER(ctypes.c_uint8)
+
+    lib.pp_create.restype = ctypes.c_void_p
+    lib.pp_destroy.argtypes = [ctypes.c_void_p]
+    lib.pp_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                            ctypes.c_int64]
+    lib.pp_signal_end.argtypes = [ctypes.c_void_p]
+    for name in ("pp_has_headers", "pp_num_video_streams",
+                 "pp_num_audio_streams", "pp_video_has_header",
+                 "pp_width", "pp_height", "pp_audio_has_header",
+                 "pp_samplerate", "pp_channels",
+                 "pp_video_blob_prepare"):
+        fn = getattr(lib, name)
+        fn.argtypes = [ctypes.c_void_p]
+        fn.restype = ctypes.c_int
+    lib.pp_framerate.argtypes = [ctypes.c_void_p]
+    lib.pp_framerate.restype = ctypes.c_double
+    lib.pp_set_audio_stream.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pp_video_blob_counts.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+
     lib.ap_create.restype = ctypes.c_void_p
     lib.ap_destroy.argtypes = [ctypes.c_void_p]
     lib.ap_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
@@ -96,6 +136,10 @@ def load() -> ctypes.CDLL:
     lib.ap_channels.restype = ctypes.c_int
     lib.ap_parse_frame.argtypes = [ctypes.c_void_p, p_i32]
     lib.ap_parse_frame.restype = ctypes.c_int
+    lib.pp_video_blob_emit.argtypes = lib.vp_blob_emit.argtypes
+    lib.pp_video_blob_emit.restype = ctypes.c_int
+    lib.pp_audio_parse_frame.argtypes = [ctypes.c_void_p, p_i32]
+    lib.pp_audio_parse_frame.restype = ctypes.c_int
     lib.ap_rewind.argtypes = [ctypes.c_void_p]
     lib.ap_unconsumed.argtypes = [ctypes.c_void_p]
     lib.ap_unconsumed.restype = ctypes.c_int64
@@ -266,5 +310,148 @@ class NativeAudioParser:
     def parse_next_frame(self) -> Optional[np.ndarray]:
         out = np.zeros((36, 2, 32), np.int32)
         if self._lib.ap_parse_frame(self._h, out.reshape(-1)):
+            return out
+        return None
+
+
+class NativeDemuxer:
+    """Streaming native MPEG-PS demuxer: feed PS bytes, pull packets.
+
+    Mirrors the Python Demux's packet hot path (demux.py decode();
+    reference demux.go:478-584); seek/start-time/duration stay on the
+    Python demuxer (control plane).  Parity-tested packet-for-packet in
+    tests/test_native.py."""
+
+    def __init__(self, data: Optional[bytes] = None):
+        self._lib = load()
+        self._h = self._lib.dx_create()
+        if data is not None:
+            self.feed(data)
+            self.signal_end()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.dx_destroy(self._h)
+            self._h = None
+
+    def feed(self, data: bytes) -> None:
+        self._lib.dx_feed(self._h, bytes(data), len(data))
+
+    def signal_end(self) -> None:
+        self._lib.dx_signal_end(self._h)
+
+    def has_headers(self) -> bool:
+        return bool(self._lib.dx_has_headers(self._h))
+
+    def get_num_video_streams(self) -> int:
+        self.has_headers()
+        return self._lib.dx_num_video_streams(self._h)
+
+    def get_num_audio_streams(self) -> int:
+        self.has_headers()
+        return self._lib.dx_num_audio_streams(self._h)
+
+    def decode(self):
+        """Next packet as (type, pts, payload bytes) or None."""
+        typ = ctypes.c_int32()
+        pts = ctypes.c_double()
+        length = ctypes.c_int64()
+        if not self._lib.dx_decode(self._h, ctypes.byref(typ),
+                                   ctypes.byref(pts), ctypes.byref(length)):
+            return None
+        payload = ctypes.string_at(self._lib.dx_payload(self._h),
+                                   length.value)
+        return typ.value, pts.value, payload
+
+
+class NativePipeline:
+    """Fully-native PS decode pipeline: demux + both ES parsers in C++,
+    zero per-packet Python work.
+
+    Exposes the SAME two-phase blob contract as NativeVideoParser
+    (blob_prepare / blob_counts / blob_emit), so BatchVideoDecoder can
+    consume .mpg program streams natively end-to-end, plus the audio
+    frame pull (parse_next_audio_frame)."""
+
+    def __init__(self, data: Optional[bytes] = None):
+        self._lib = load()
+        self._h = self._lib.pp_create()
+        if data is not None:
+            self.feed(data)
+            self.signal_end()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.pp_destroy(self._h)
+            self._h = None
+
+    def feed(self, data: bytes) -> None:
+        self._lib.pp_feed(self._h, bytes(data), len(data))
+
+    def signal_end(self) -> None:
+        self._lib.pp_signal_end(self._h)
+
+    def has_headers(self) -> bool:
+        return bool(self._lib.pp_has_headers(self._h))
+
+    def set_audio_stream(self, idx: int) -> None:
+        self._lib.pp_set_audio_stream(self._h, idx)
+
+    def get_num_video_streams(self) -> int:
+        self.has_headers()
+        return self._lib.pp_num_video_streams(self._h)
+
+    def get_num_audio_streams(self) -> int:
+        self.has_headers()
+        return self._lib.pp_num_audio_streams(self._h)
+
+    # -- video side (NativeVideoParser-compatible blob contract) ----------
+
+    def has_header(self) -> bool:
+        return bool(self._lib.pp_video_has_header(self._h))
+
+    @property
+    def width(self) -> int:
+        return self._lib.pp_width(self._h)
+
+    @property
+    def height(self) -> int:
+        return self._lib.pp_height(self._h)
+
+    @property
+    def framerate(self) -> float:
+        return self._lib.pp_framerate(self._h)
+
+    def geom(self):
+        from .ops.video_recon import FrameGeometry
+        return FrameGeometry.for_size(self.width, self.height)
+
+    def blob_prepare(self) -> int:
+        return self._lib.pp_video_blob_prepare(self._h)
+
+    def blob_counts(self) -> tuple[int, int]:
+        out = np.zeros(2, np.int64)
+        self._lib.pp_video_blob_counts(self._h, out)
+        return int(out[0]), int(out[1])
+
+    def blob_emit(self, main_idx, main_val, esc_idx, esc_val,
+                  mvh, mvv, nbcls, misc, idx_base: int) -> int:
+        return int(self._lib.pp_video_blob_emit(
+            self._h, main_idx, main_val, esc_idx, esc_val,
+            mvh, mvv, nbcls, misc, idx_base))
+
+    # -- audio side ---------------------------------------------------------
+
+    @property
+    def samplerate(self) -> int:
+        return self._lib.pp_samplerate(self._h)
+
+    @property
+    def channels(self) -> int:
+        return self._lib.pp_channels(self._h)
+
+    def parse_next_audio_frame(self) -> Optional[np.ndarray]:
+        out = np.zeros((36, 2, 32), np.int32)
+        if self._lib.pp_audio_parse_frame(self._h, out.reshape(-1)):
             return out
         return None

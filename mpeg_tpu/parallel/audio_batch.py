@@ -26,8 +26,12 @@ class BatchAudioDecoder:
             use_native = native_mod.available()
         self.window = window
         self.native = None
+        self._pipeline = None
         self._py = None
-        if use_native:
+        if use_native and bytes(data[:4]) == b"\x00\x00\x01\xBA":
+            # MPEG-PS container: fully-native demux + MP2 parse.
+            self._pipeline = native_mod.NativePipeline(bytes(data))
+        elif use_native:
             self.native = native_mod.NativeAudioParser(bytes(data))
         else:
             import io
@@ -43,6 +47,8 @@ class BatchAudioDecoder:
 
     @property
     def samplerate(self) -> int:
+        if self._pipeline is not None:
+            return self._pipeline.samplerate
         if self.native is not None:
             self.native.has_header()
             return self.native.samplerate
@@ -50,12 +56,16 @@ class BatchAudioDecoder:
 
     @property
     def channels(self) -> int:
+        if self._pipeline is not None:
+            return self._pipeline.channels
         if self.native is not None:
             self.native.has_header()
             return self.native.channels
         return self._py.get_channels()
 
     def _parse_frame(self) -> Optional[np.ndarray]:
+        if self._pipeline is not None:
+            return self._pipeline.parse_next_audio_frame()
         if self.native is not None:
             return self.native.parse_next_frame()
         a = self._py

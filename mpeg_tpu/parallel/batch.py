@@ -407,11 +407,21 @@ class BatchVideoDecoder:
             assert transport == "blob", "native parse emits blob records"
             data = buf if isinstance(buf, (bytes, bytearray)) else \
                 bytes(buf.bytes())
-            self.native = native_mod.NativeVideoParser(data)
+            if bytes(data[:4]) == b"\x00\x00\x01\xBA":
+                # MPEG-PS container: the fully-native pipeline (demux +
+                # ES parse in C++) exposes the same blob contract.
+                self.native = native_mod.NativePipeline(data)
+            else:
+                self.native = native_mod.NativeVideoParser(data)
         else:
             if isinstance(buf, (bytes, bytearray)):
                 import io
                 from ..buffer import Buffer
+                if bytes(buf[:4]) == b"\x00\x00\x01\xBA":
+                    raise ValueError(
+                        "MPEG-PS input needs the native pipeline "
+                        "(use_native=True) or the MPEG class; the Python "
+                        "plan parser consumes elementary streams only")
                 b = Buffer(io.BytesIO(bytes(buf)))
                 b.set_load_callback(b.load_reader_callback)
                 buf = b

@@ -97,6 +97,58 @@ static int run_host(const std::vector<uint8_t>& data) {
     return frames;
 }
 
+static int run_demux(const std::vector<uint8_t>& data) {
+    void* p = dx_create();
+    dx_feed(p, data.data(), (int64_t)data.size());
+    dx_signal_end(p);
+    int packets = 0;
+    if (dx_has_headers(p)) {
+        int32_t typ;
+        double pts;
+        int64_t len;
+        while (dx_decode(p, &typ, &pts, &len)) {
+            volatile uint8_t sink = 0;
+            const uint8_t* d = dx_payload(p);
+            for (int64_t i = 0; i < len; i++) sink ^= d[i];
+            (void)sink;
+            packets++;
+        }
+    }
+    dx_destroy(p);
+    return packets;
+}
+
+static int run_pipeline(const std::vector<uint8_t>& data) {
+    void* p = pp_create();
+    pp_feed(p, data.data(), (int64_t)data.size());
+    pp_signal_end(p);
+    int items = 0;
+    if (pp_has_headers(p)) {
+        int mb = ((pp_width(p) + 15) >> 4) * ((pp_height(p) + 15) >> 4);
+        if (mb > 0) {
+            std::vector<int16_t> mvh(mb), mvv(mb);
+            std::vector<uint16_t> nbcls(mb);
+            std::vector<uint8_t> misc(mb);
+            while (pp_video_blob_prepare(p) != 0) {
+                int64_t counts[2];
+                pp_video_blob_counts(p, counts);
+                std::vector<uint32_t> mi(counts[0] ? counts[0] : 1);
+                std::vector<int16_t> mv(counts[0] ? counts[0] : 1);
+                std::vector<uint32_t> ei(counts[1] ? counts[1] : 1);
+                std::vector<int32_t> ev(counts[1] ? counts[1] : 1);
+                pp_video_blob_emit(p, mi.data(), mv.data(), ei.data(),
+                                   ev.data(), mvh.data(), mvv.data(),
+                                   nbcls.data(), misc.data(), 0);
+                items++;
+            }
+        }
+        std::vector<int32_t> out(36 * 2 * 32);
+        while (pp_audio_parse_frame(p, out.data())) items++;
+    }
+    pp_destroy(p);
+    return items;
+}
+
 static int run_audio(const std::vector<uint8_t>& data) {
     void* p = ap_create();
     ap_feed(p, data.data(), (int64_t)data.size());
@@ -126,5 +178,9 @@ int main(int argc, char** argv) {
         printf("host: %d frames\n", run_host(data));
     if (mode == "audio" || mode == "all")
         printf("audio: %d frames\n", run_audio(data));
+    if (mode == "demux" || mode == "all")
+        printf("demux: %d packets\n", run_demux(data));
+    if (mode == "pipeline" || mode == "all")
+        printf("pipeline: %d items\n", run_pipeline(data));
     return 0;
 }

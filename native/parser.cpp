@@ -79,6 +79,18 @@ struct BitReader {
     void align() { bit = ((bit + 7) >> 3) << 3; }
     void skip(int count) { if (has(count)) bit += count; }
 
+    // Align, then skip consecutive bytes equal to v; returns the count
+    // (parity: buffer.go:257-277 — PES stuffing-byte removal).
+    int skip_bytes(uint8_t v) {
+        align();
+        int n = 0;
+        while ((bit >> 3) < size && data[bit >> 3] == v) {
+            bit += 8;
+            n++;
+        }
+        return n;
+    }
+
     bool peek_non_zero(int count) {
         if (!has(count)) return false;
         int64_t save = bit;
@@ -1056,6 +1068,245 @@ struct AudioParser {
     }
 };
 
+// ---------------------------------------------------------------------------
+// MPEG-PS demuxer (mirrors mpeg_tpu/demux.py packet path field-for-field;
+// reference: demux.go:478-584).  The steady-state hot path only — seek /
+// start-time / duration estimation stay in the Python demuxer (control
+// plane, not per-packet work).  Payloads are zero-copy (offset, length)
+// views into the internal buffer, valid until the next decode().
+// ---------------------------------------------------------------------------
+struct Demuxer {
+    std::vector<uint8_t> buf;
+    bool ended = false;
+    BitReader br;
+
+    int start_code = -1;
+    bool has_pack = false, has_sys = false, has_hdrs = false;
+    int num_audio = 0, num_video = 0;
+    double sys_clock_ref = 0.0;
+
+    int64_t cur_len = 0;      // current packet payload, skipped next call
+    int nxt_type = 0;
+    int64_t nxt_len = 0;
+    double nxt_pts = -1.0;
+
+    // last decoded packet (exposed via the C ABI)
+    int pkt_type = 0;
+    double pkt_pts = -1.0;
+    int64_t pkt_off = 0, pkt_len = 0;
+
+    void sync() { br.data = buf.data(); br.size = (int64_t)buf.size(); }
+
+    void compact() {
+        int64_t byte_pos = br.bit >> 3;
+        if (byte_pos > 0) {
+            buf.erase(buf.begin(), buf.begin() + byte_pos);
+            br.bit -= byte_pos << 3;
+            sync();
+        }
+    }
+
+    double decode_time() {   // 33-bit 90 kHz clock (demux.go:520-529)
+        int64_t clock = (int64_t)br.read(3) << 30;
+        br.skip(1);
+        clock |= (int64_t)br.read(15) << 15;
+        br.skip(1);
+        clock |= (int64_t)br.read(15);
+        br.skip(1);
+        return (double)clock / 90000.0;
+    }
+
+    bool has_headers() {     // pack 0xBA + system 0xBB (demux.go:85-138)
+        if (has_hdrs) return true;
+        if (!has_pack) {
+            if (start_code != 0xBA && br.find_start_code(0xBA) == -1)
+                return false;
+            start_code = 0xBA;
+            if (!br.has(64)) return false;
+            start_code = -1;
+            if (br.read(4) != 0x02) return false;   // MPEG-1 only
+            sys_clock_ref = decode_time();
+            br.skip(1);
+            br.skip(22);   // mux rate * 50
+            br.skip(1);
+            has_pack = true;
+        }
+        if (!has_sys) {
+            if (start_code != 0xBB && br.find_start_code(0xBB) == -1)
+                return false;
+            start_code = 0xBB;
+            if (!br.has(56)) return false;
+            start_code = -1;
+            br.skip(16);   // header length
+            br.skip(24);   // rate bound
+            num_audio = br.read(6);
+            br.skip(5);
+            num_video = br.read(5);
+            has_sys = true;
+        }
+        has_hdrs = true;
+        return true;
+    }
+
+    // PES header: length, 0xFF stuffing, P-STD, PTS(+DTS) markers
+    // (demux.go:531-568).  Resumable: partially-parsed state survives
+    // underflow exactly like the Python demuxer.
+    int decode_packet(int typ) {
+        if (!br.has(16 << 3)) return 0;
+        start_code = -1;
+        nxt_type = typ;
+        nxt_len = br.read(16);
+        nxt_len -= br.skip_bytes(0xFF);
+        if (br.read(2) == 0x01) {   // P-STD buffer size
+            br.skip(16);
+            nxt_len -= 2;
+        }
+        int marker = br.read(2);
+        if (marker == 0x03) {
+            nxt_pts = decode_time();
+            br.skip(40);   // DTS
+            nxt_len -= 10;
+        } else if (marker == 0x02) {
+            nxt_pts = decode_time();
+            nxt_len -= 5;
+        } else if (marker == 0x00) {
+            nxt_pts = -1.0;
+            br.skip(4);
+            nxt_len -= 1;
+        } else {
+            return 0;   // invalid marker; pending state kept (parity)
+        }
+        return make_packet();
+    }
+
+    int make_packet() {
+        if (!br.has(nxt_len << 3)) return 0;
+        pkt_off = br.bit >> 3;
+        pkt_type = nxt_type;
+        pkt_pts = nxt_pts;
+        pkt_len = nxt_len;
+        cur_len = nxt_len;
+        nxt_len = 0;
+        return 1;
+    }
+
+    // Next packet; 1 on success, 0 when more data is needed / stream done
+    // (demux.go:473-511).
+    int decode() {
+        sync();
+        if (!has_headers()) return 0;
+        if (cur_len != 0) {
+            int64_t bits = cur_len << 3;
+            if (!br.has(bits)) return 0;
+            br.bit += bits;
+            cur_len = 0;
+        }
+        compact();   // previous payload consumed; keep memory bounded
+        if (nxt_len != 0) return make_packet();
+        if (start_code != -1) return decode_packet(start_code);
+        for (;;) {
+            start_code = br.next_start_code();
+            if (start_code == 0xE0 || start_code == 0xBD ||
+                (start_code >= 0xC0 && start_code <= 0xC3))
+                return decode_packet(start_code);
+            if (start_code == -1) break;
+        }
+        return 0;
+    }
+
+    int decode_catch() {
+        try {
+            return decode();
+        } catch (const Truncated&) {
+            return 0;
+        }
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Fully-native PS pipeline: Demuxer + both ES parsers in one object, so
+// MPEG-class steady-state decode does ZERO per-packet Python work.  The
+// pull model mirrors mpeg.go:634-669: when a decoder starves, demux
+// packets, routing video payloads to the video parser and selected-audio
+// payloads to the audio parser, until one of the requested type lands.
+// ---------------------------------------------------------------------------
+struct Pipeline {
+    Demuxer dmx;
+    VideoParser vp;
+    AudioParser ap;
+    int audio_type = 0xC0;   // PACKET_AUDIO_1 + stream index
+    bool es_end_signaled = false;
+
+    void feed(const uint8_t* data, int64_t n) {
+        dmx.buf.insert(dmx.buf.end(), data, data + n);
+        dmx.ended = false;
+        dmx.sync();
+        es_end_signaled = false;
+    }
+
+    void route(int typ) {
+        const uint8_t* payload = dmx.buf.data() + dmx.pkt_off;
+        int64_t n = dmx.pkt_len > 0 ? dmx.pkt_len : 0;
+        if (typ == 0xE0) {
+            vp.buf.insert(vp.buf.end(), payload, payload + n);
+            vp.ended = false;
+            vp.sync();
+        } else if (typ == audio_type) {
+            ap.buf.insert(ap.buf.end(), payload, payload + n);
+            ap.ended = false;
+            ap.sync();
+        }
+        // other audio streams / private packets: dropped
+    }
+
+    // Demux until a packet of `want` lands in its parser; false when the
+    // demuxer runs dry (more PS bytes needed, or true end of stream).
+    bool fill_for(int want) {
+        for (;;) {
+            if (!dmx.decode_catch()) {
+                if (dmx.ended && !es_end_signaled) {
+                    es_end_signaled = true;   // leftover ES bytes are final
+                    vp.ended = true;
+                    ap.ended = true;
+                }
+                return false;
+            }
+            route(dmx.pkt_type);
+            if (dmx.pkt_type == want) return true;
+        }
+    }
+
+    bool ensure_video_header() {
+        for (;;) {
+            vp.sync();
+            if (vp.has_header()) return true;
+            if (!fill_for(0xE0)) return false;
+        }
+    }
+
+    bool audio_header_ready() {
+        ap.sync();
+        if (ap.has_header_flag) return true;
+        if (ap.next_frame_size == 0) {
+            int64_t save = ap.br.bit;
+            try {
+                ap.next_frame_size = ap.decode_header();
+            } catch (const Truncated&) {
+                ap.br.bit = save;
+                return false;
+            }
+        }
+        return ap.has_header_flag;
+    }
+
+    bool ensure_audio_header() {
+        for (;;) {
+            if (audio_header_ready()) return true;
+            if (!fill_for(audio_type)) return false;
+        }
+    }
+};
+
 }   // namespace
 
 // ---------------------------------------------------------------------------
@@ -1314,6 +1565,154 @@ int ap_parse_frame(void* p, int32_t* out) {
         return 0;
     } catch (const CorruptStream&) {
         return 0;
+    }
+}
+
+// -- MPEG-PS demuxer (standalone; parity-tested vs mpeg_tpu/demux.py) --
+
+void* dx_create() { return new Demuxer(); }
+void dx_destroy(void* p) { delete (Demuxer*)p; }
+
+void dx_feed(void* p, const uint8_t* data, int64_t n) {
+    auto* d = (Demuxer*)p;
+    d->buf.insert(d->buf.end(), data, data + n);
+    d->ended = false;
+    d->sync();
+}
+
+void dx_signal_end(void* p) { ((Demuxer*)p)->ended = true; }
+
+int dx_has_headers(void* p) {
+    auto* d = (Demuxer*)p;
+    d->sync();
+    try {
+        return d->has_headers() ? 1 : 0;
+    } catch (const Truncated&) {
+        return 0;
+    }
+}
+
+int dx_num_video_streams(void* p) { return ((Demuxer*)p)->num_video; }
+int dx_num_audio_streams(void* p) { return ((Demuxer*)p)->num_audio; }
+double dx_system_clock_ref(void* p) { return ((Demuxer*)p)->sys_clock_ref; }
+
+// Decode the next packet; returns 1 and fills (type, pts, len) on
+// success.  The payload pointer (dx_payload) is valid until the next
+// dx_decode/dx_feed.
+int dx_decode(void* p, int32_t* type_out, double* pts_out,
+              int64_t* len_out) {
+    auto* d = (Demuxer*)p;
+    if (!d->decode_catch()) return 0;
+    *type_out = d->pkt_type;
+    *pts_out = d->pkt_pts;
+    *len_out = d->pkt_len > 0 ? d->pkt_len : 0;
+    return 1;
+}
+
+const uint8_t* dx_payload(void* p) {
+    auto* d = (Demuxer*)p;
+    return d->buf.data() + d->pkt_off;
+}
+
+// -- fully-native PS pipeline (demux + both ES parsers) --
+
+void* pp_create() { return new Pipeline(); }
+void pp_destroy(void* p) { delete (Pipeline*)p; }
+
+void pp_feed(void* p, const uint8_t* data, int64_t n) {
+    ((Pipeline*)p)->feed(data, n);
+}
+
+void pp_signal_end(void* p) { ((Pipeline*)p)->dmx.ended = true; }
+
+int pp_has_headers(void* p) {
+    auto* pp = (Pipeline*)p;
+    pp->dmx.sync();
+    try {
+        return pp->dmx.has_headers() ? 1 : 0;
+    } catch (const Truncated&) {
+        return 0;
+    }
+}
+
+int pp_num_video_streams(void* p) { return ((Pipeline*)p)->dmx.num_video; }
+int pp_num_audio_streams(void* p) { return ((Pipeline*)p)->dmx.num_audio; }
+
+void pp_set_audio_stream(void* p, int idx) {
+    if (idx >= 0 && idx <= 3) ((Pipeline*)p)->audio_type = 0xC0 + idx;
+}
+
+int pp_video_has_header(void* p) {
+    return ((Pipeline*)p)->ensure_video_header() ? 1 : 0;
+}
+
+int pp_width(void* p) {
+    auto* pp = (Pipeline*)p;
+    return pp->ensure_video_header() ? pp->vp.width : 0;
+}
+
+int pp_height(void* p) {
+    auto* pp = (Pipeline*)p;
+    return pp->ensure_video_header() ? pp->vp.height : 0;
+}
+
+double pp_framerate(void* p) {
+    auto* pp = (Pipeline*)p;
+    return pp->ensure_video_header() ? pp->vp.frame_rate : 0.0;
+}
+
+int pp_audio_has_header(void* p) {
+    return ((Pipeline*)p)->ensure_audio_header() ? 1 : 0;
+}
+
+int pp_samplerate(void* p) {
+    auto* pp = (Pipeline*)p;
+    return pp->ensure_audio_header() ? SAMPLE_RATE[pp->ap.samplerate_index]
+                                     : 0;
+}
+
+int pp_channels(void* p) {
+    auto* pp = (Pipeline*)p;
+    return pp->ensure_audio_header() ? pp->ap.channels : 0;
+}
+
+// Video pull: identical two-phase blob contract as vp_* — prepare parses
+// the next picture (demuxing more PS packets on demand), counts/emit are
+// direct delegates.
+int pp_video_blob_prepare(void* p) {
+    auto* pp = (Pipeline*)p;
+    for (;;) {
+        int t = vp_parse_blob_prepare(&pp->vp);
+        if (t != 0) return t;
+        if (!pp->fill_for(0xE0)) {
+            if (!pp->vp.ended) return 0;
+            // end signaled: one final attempt over the leftover ES bytes
+            return vp_parse_blob_prepare(&pp->vp);
+        }
+    }
+}
+
+void pp_video_blob_counts(void* p, int64_t* out) {
+    vp_blob_counts(&((Pipeline*)p)->vp, out);
+}
+
+int pp_video_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
+                       uint32_t* esc_idx, int32_t* esc_val,
+                       int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
+                       uint8_t* misc, int64_t idx_base) {
+    return vp_blob_emit(&((Pipeline*)p)->vp, main_idx, main_val,
+                        esc_idx, esc_val, mvh, mvv, nbcls, misc, idx_base);
+}
+
+// Audio pull: next MP2 frame's subband samples int32[36][2][32].
+int pp_audio_parse_frame(void* p, int32_t* out) {
+    auto* pp = (Pipeline*)p;
+    for (;;) {
+        if (ap_parse_frame(&pp->ap, out)) return 1;
+        if (!pp->fill_for(pp->audio_type)) {
+            if (!pp->ap.ended) return 0;
+            return ap_parse_frame(&pp->ap, out);
+        }
     }
 }
 

@@ -137,6 +137,78 @@ def test_batch_audio_golden(mp2_path):
     assert h.sum64() in GOLDEN_AUDIO_HASHES, f"{h.sum64():#018x}"
 
 
+def test_native_demux_packet_parity(mpg_path):
+    """Native demuxer must match the Python demuxer packet-for-packet:
+    type, PTS and payload bytes."""
+    data = open(mpg_path, "rb").read()
+    nat = native.NativeDemuxer(data)
+    assert nat.has_headers()
+
+    buf = mpeg.Buffer(open(mpg_path, "rb"))
+    buf.set_load_callback(buf.load_reader_callback)
+    py = mpeg.Demux(buf)
+    assert nat.get_num_video_streams() == py.get_num_video_streams()
+    assert nat.get_num_audio_streams() == py.get_num_audio_streams()
+
+    n = 0
+    while True:
+        a = nat.decode()
+        b = py.decode()
+        assert (a is None) == (b is None), f"packet {n}: presence differs"
+        if a is None:
+            break
+        typ, pts, payload = a
+        assert typ == b.type, f"packet {n}: type {typ:#x} vs {b.type:#x}"
+        assert pts == b.pts, f"packet {n}: pts {pts} vs {b.pts}"
+        assert payload == bytes(b.data), f"packet {n}: payload differs"
+        n += 1
+    assert n > 100   # the fixture carries hundreds of packets
+
+
+def test_native_pipeline_ps_video(mpg_path):
+    """Full .mpg decode through the native pipeline (C++ demux + parse,
+    blob transport, device scan) matches the MPEG-class oracle
+    frame-for-frame."""
+    from mpeg_tpu.parallel import BatchVideoDecoder
+
+    data = open(mpg_path, "rb").read()
+    dec = BatchVideoDecoder(data, window=16)
+    assert isinstance(dec.native, native.NativePipeline)
+    assert dec.geom.width == 160 and dec.geom.height == 120
+    frames = [np.asarray(f)[:dec.geom.frame_size] for f in dec.decode_all()]
+
+    m = mpeg.MPEG(open(mpg_path, "rb"), backend="numpy",
+                  config=mpeg.Config(parser="python"))
+    n = 0
+    while (f := m.decode_video()) is not None:
+        want = np.concatenate([f.y.reshape(-1), f.cb.reshape(-1),
+                               f.cr.reshape(-1)])
+        assert np.array_equal(frames[n], want), f"frame {n} differs"
+        n += 1
+    assert n == len(frames) and n > 100
+
+
+def test_native_pipeline_ps_audio(mpg_path):
+    """PS audio through the native pipeline matches the MPEG-class
+    oracle sample-for-sample."""
+    from mpeg_tpu.parallel import BatchAudioDecoder
+
+    data = open(mpg_path, "rb").read()
+    dec = BatchAudioDecoder(data, window=64)
+    assert dec._pipeline is not None
+    assert dec.samplerate == 44100 and dec.channels == 1
+    pcm = dec.decode_all()
+
+    m = mpeg.MPEG(open(mpg_path, "rb"), backend="numpy",
+                  config=mpeg.Config(parser="python"))
+    chunks = []
+    while (s := m.decode_audio()) is not None:
+        chunks.append(np.asarray(s.interleaved))
+    want = np.concatenate(chunks)
+    assert pcm.size == want.size
+    np.testing.assert_array_equal(pcm, want)
+
+
 def test_native_host_decode_golden(mpeg1video_path):
     """The C++ host-only decoder reproduces the video golden hash."""
     from mpeg_tpu.utils import Fnv1a64

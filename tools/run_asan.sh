@@ -26,7 +26,8 @@ MUT=${TMPDIR:-/tmp}/mpeg_asan_mut
 python3 - "$MUT" <<'EOF'
 import pathlib, sys
 mut = pathlib.Path(sys.argv[1]); mut.mkdir(exist_ok=True)
-for src in ["tests/testdata/test.mpeg1video", "tests/testdata/test.mp2"]:
+for src in ["tests/testdata/test.mpeg1video", "tests/testdata/test.mp2",
+            "tests/testdata/test.mpg"]:
     data = bytearray(pathlib.Path(src).read_bytes())
     stem = pathlib.Path(src).stem + pathlib.Path(src).suffix.replace(".", "_")
     for i, frac in enumerate([0.01, 0.1, 0.5, 0.9]):
