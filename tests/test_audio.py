@@ -87,3 +87,35 @@ def test_samples_formats(mp2_path):
 
     s.format = mpeg.AudioFormat.S16
     assert len(s.bytes()) == len(s.interleaved) * 2
+
+
+def test_samples_format_values(mp2_path):
+    """S16/F32 scaling VALUES (not just lengths): asymmetric
+    +-0x8000/0x7FFF (audio.go:387-418), truncation toward zero for S16,
+    and the left/right de-interleave."""
+    audio = new_audio(mp2_path, "numpy")
+    # skip ahead so the frame has real signal, not leading silence
+    for _ in range(10):
+        s = audio.decode()
+    assert s is not None
+    inter = np.asarray(s.interleaved)
+    assert np.count_nonzero(inter) > 100, "frame unexpectedly silent"
+    assert inter.min() < 0 < inter.max(), "need both signs for the test"
+
+    want_s16 = np.trunc(np.where(
+        inter < 0, inter * np.float32(0x8000),
+        inter * np.float32(0x7FFF))).astype(np.int16)
+    np.testing.assert_array_equal(s.s16, want_s16)
+
+    want_f32 = np.where(
+        inter < 0, inter * np.float32(0x80000000),
+        inter * np.float32(0x7FFFFFFF)).astype(np.float32)
+    np.testing.assert_array_equal(s.f32, want_f32)
+
+    np.testing.assert_array_equal(s.left, inter[0::2])
+    np.testing.assert_array_equal(s.right, inter[1::2])
+
+    s.format = mpeg.AudioFormat.S16
+    assert s.bytes() == want_s16.tobytes()
+    s.format = mpeg.AudioFormat.F32
+    assert s.bytes() == want_f32.tobytes()

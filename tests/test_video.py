@@ -81,3 +81,49 @@ def test_rgba(mpeg1video_path):
     assert rgba.dtype == np.uint8
     assert (rgba[..., 3] == 255).all()
     assert frame.pixels().shape == (120 * 160, 4)
+
+
+def test_set_no_delay(mpeg1video_path):
+    """SetNoDelay display rule (video.go:247-256 noDelay branch): every
+    picture returns the backward frame immediately — verified against an
+    independent plan-parse + numpy-reconstruction oracle."""
+    import pytest
+    from mpeg_tpu.ops.video_recon import reconstruct_picture
+    from mpeg_tpu.tables import PICTURE_TYPE_B
+
+    buf = mpeg.Buffer(open(mpeg1video_path, "rb"))
+    buf.set_load_callback(buf.load_reader_callback)
+    v = mpeg.Video(buf, backend="plan")
+    assert v.has_header()
+    geom = v.geom
+
+    cur = np.zeros(geom.total_size, np.uint8)
+    fwd = np.zeros(geom.total_size, np.uint8)
+    bwd = np.zeros(geom.total_size, np.uint8)
+    want = []
+    while (item := v.parse_next_plan()) is not None:
+        plan, ptype = item
+        is_ref = ptype != PICTURE_TYPE_B
+        new = reconstruct_picture(
+            cur, bwd if is_ref else fwd, bwd, plan.coeffs, plan.nblocks,
+            plan.intra_blk, plan.src_sel, plan.mv_h, plan.mv_v, geom, np)
+        if is_ref:
+            cur, fwd, bwd = fwd, bwd, new
+        else:
+            cur = new
+        want.append(bwd[:geom.frame_size].copy())
+
+    for parser in ("python", "native"):
+        buf2 = mpeg.Buffer(open(mpeg1video_path, "rb"))
+        buf2.set_load_callback(buf2.load_reader_callback)
+        v2 = mpeg.Video(buf2, backend="numpy", parser=parser)
+        v2.set_no_delay(True)
+        n = 0
+        while (f := v2.decode()) is not None:
+            got = np.concatenate([f.y.reshape(-1), f.cb.reshape(-1),
+                                  f.cr.reshape(-1)])
+            assert np.array_equal(got, want[n]), \
+                f"{parser}: frame {n} differs"
+            n += 1
+        # no-delay: every picture displays; no end-of-stream flush delay
+        assert n == len(want) == 261, f"{parser}: {n} frames"
