@@ -42,8 +42,11 @@ ROUNDS = 6           # rounds per measured pass
 PASSES = 3           # end-to-end repetitions (median reported)
 
 
+_T0 = time.time()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.time() - _T0:6.1f}s]", *a, file=sys.stderr, flush=True)
 
 
 def ensure_fixture() -> str:

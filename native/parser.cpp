@@ -40,10 +40,27 @@ struct BitReader {
 
     bool has(int64_t count) const { return (size << 3) - bit >= count; }
 
+    // One 8-byte big-endian load of the window at the cursor (fast path
+    // for read/peek when 8 bytes remain — the overwhelmingly common case
+    // in the per-picture VLC loop).
+    uint64_t window64(int64_t byte_pos) const {
+        uint64_t w;
+        std::memcpy(&w, data + byte_pos, 8);
+        return __builtin_bswap64(w);
+    }
+
     int read(int count) {
+        int64_t byte_pos = bit >> 3;
+        if (count <= 24 && byte_pos + 8 <= size) {
+            uint64_t w = window64(byte_pos);
+            int v = (int)((w >> (64 - (bit & 7) - count)) &
+                          ((1u << count) - 1));
+            bit += count;
+            return v;
+        }
         int value = 0;
         while (count) {
-            int64_t byte_pos = bit >> 3;
+            byte_pos = bit >> 3;
             if (byte_pos >= size) throw Truncated{};
             int current = data[byte_pos];
             int remaining = 8 - (int)(bit & 7);
@@ -68,6 +85,10 @@ struct BitReader {
     // Peek up to 16 bits; bits past the end read as zero.
     int peek16(int count) const {
         int64_t byte_pos = bit >> 3;
+        if (byte_pos + 8 <= size) {
+            return (int)((window64(byte_pos) >> (64 - (bit & 7) - count)) &
+                         ((1u << count) - 1));
+        }
         uint32_t w = 0;
         for (int i = 0; i < 3; i++) {
             w <<= 8;
@@ -266,6 +287,12 @@ struct VideoParser {
 
     // persistent blockData scratch (video.go:101 semantics)
     int32_t block_data[64] = {0};
+    // Parallel quotient scratch: block_data[p] == block_quot[p] *
+    // PREMULTIPLIER[p] by construction (AC stores level, which the clip
+    // bounds to int16; the intra DC stores dc*8 since dc<<8 == (dc*8)*32).
+    // Leaks/clears mirror block_data exactly, so the blob encoder never
+    // needs a division.
+    int32_t block_quot[64] = {0};
 
     // plan outputs (borrowed numpy buffers, set per parse call)
     int32_t* coeffs = nullptr;     // [mb, 6, 64]
@@ -276,7 +303,7 @@ struct VideoParser {
     int32_t* mv_v = nullptr;       // [mb]
 
     // internal plan storage for direct blob emission
-    std::vector<int32_t> own_coeffs, own_nblocks, own_intra,
+    std::vector<int32_t> own_coeffs, own_quots, own_nblocks, own_intra,
         own_sel, own_mvh, own_mvv;
     std::vector<int32_t> dirty_stamp;   // per-MB generation stamp
     std::vector<int32_t> dirty_mbs;
@@ -301,8 +328,8 @@ struct VideoParser {
         }
     }
 
-    // Count this block's (main, escape) pool records from its current
-    // content; a re-touched block replaces its previous counts.
+    // Count this block's (main, escape) pool records from the quotient
+    // scratch (division-free); a re-touched block replaces its counts.
     void note_coded_block(int bid) {
         if (coded_stamp[bid] != generation) {
             coded_stamp[bid] = generation;
@@ -311,14 +338,13 @@ struct VideoParser {
             pool_main -= blk_main[bid];
             pool_esc -= blk_esc[bid];
         }
-        const int32_t* c = own_coeffs.data() + (int64_t)bid * 64;
+        std::memcpy(own_quots.data() + (int64_t)bid * 64, block_quot,
+                    sizeof(block_quot));
         int m = 0, e = 0;
         for (int j = 0; j < 64; j++) {
-            int32_t v = c[j];
-            if (v == 0) continue;
-            int32_t pm = PREMULTIPLIER[j];
-            int32_t q = v / pm;
-            if (q * pm == v && q >= -32768 && q <= 32767) m++;
+            int32_t q = block_quot[j];
+            if (q == 0) continue;
+            if (q >= -32768 && q <= 32767) m++;
             else e++;
         }
         blk_main[bid] = (uint16_t)m;
@@ -351,6 +377,7 @@ struct VideoParser {
     void ensure_own_plan() {
         if ((int)own_sel.size() != mb_size) {
             own_coeffs.assign((size_t)mb_size * 6 * 64, 0);
+            own_quots.assign((size_t)mb_size * 6 * 64, 0);
             own_nblocks.assign((size_t)mb_size * 6, 0);
             own_intra.assign((size_t)mb_size * 6, 0);
             own_sel.assign(mb_size, 0);
@@ -486,6 +513,7 @@ struct VideoParser {
                 block_data[0] = predictor;
             }
             dc_pred[plane_index] = block_data[0];
+            block_quot[0] = block_data[0] * 8;
             // *256, not <<(3+5): the junk-stream DC can be negative, and
             // Go's shift semantics are multiplication (video.go:668).
             block_data[0] *= 1 << (3 + 5);
@@ -525,6 +553,7 @@ struct VideoParser {
             if (level > 2047) level = 2047;
             else if (level < -2048) level = -2048;
 
+            block_quot[pos] = level;
             block_data[pos] = level * PREMULTIPLIER[pos];
         }
 
@@ -537,8 +566,13 @@ struct VideoParser {
             if (track_pool) note_coded_block(mb_address * 6 + block);
         }
         // Partial clear exactly like the reference (video.go:777,790-796).
-        if (n == 1) block_data[0] = 0;
-        else std::memset(block_data, 0, sizeof(block_data));
+        if (n == 1) {
+            block_data[0] = 0;
+            block_quot[0] = 0;
+        } else {
+            std::memset(block_data, 0, sizeof(block_data));
+            std::memset(block_quot, 0, sizeof(block_quot));
+        }
     }
 
     void decode_macroblock() {
@@ -750,6 +784,8 @@ struct VideoParser {
 
             // clear the plan entry (consumed)
             std::memset(own_coeffs.data() + (int64_t)mb * 6 * 64, 0,
+                        6 * 64 * sizeof(int32_t));
+            std::memset(own_quots.data() + (int64_t)mb * 6 * 64, 0,
                         6 * 64 * sizeof(int32_t));
             std::memset(own_nblocks.data() + mb * 6, 0, 6 * sizeof(int32_t));
             std::memset(own_intra.data() + mb * 6, 0, 6 * sizeof(int32_t));
@@ -1347,9 +1383,12 @@ void vp_rewind(void* p) {
     v->last_ptype = 0;
     // Discard any prepared-but-unemitted plan: clear touched blocks so
     // stale coefficients cannot leak into post-rewind pictures.
-    for (int bid : v->coded_blocks)
+    for (int bid : v->coded_blocks) {
         std::memset(v->own_coeffs.data() + (int64_t)bid * 64, 0,
                     64 * sizeof(int32_t));
+        std::memset(v->own_quots.data() + (int64_t)bid * 64, 0,
+                    64 * sizeof(int32_t));
+    }
     for (int mb : v->dirty_mbs) {
         std::memset(v->own_nblocks.data() + mb * 6, 0, 6 * sizeof(int32_t));
         std::memset(v->own_intra.data() + mb * 6, 0, 6 * sizeof(int32_t));
@@ -1423,25 +1462,24 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
     int64_t nm = 0, ne = 0;
     for (int bid : v->coded_blocks) {
         int32_t* c = v->own_coeffs.data() + (int64_t)bid * 64;
+        int32_t* q = v->own_quots.data() + (int64_t)bid * 64;
         if (v->own_nblocks[bid] > 0) {
             for (int j = 0; j < 64; j++) {
-                int32_t val = c[j];
-                if (val == 0) continue;
+                if (q[j] == 0) continue;
                 uint32_t idx = (uint32_t)(idx_base + (int64_t)bid * 64 + j);
-                int32_t pm = PREMULTIPLIER[j];
-                int32_t q = val / pm;
-                if (q * pm == val && q >= -32768 && q <= 32767) {
+                if (q[j] >= -32768 && q[j] <= 32767) {
                     main_idx[nm] = idx;
-                    main_val[nm] = (int16_t)q;
+                    main_val[nm] = (int16_t)q[j];
                     nm++;
                 } else {
                     esc_idx[ne] = idx;
-                    esc_val[ne] = val;
+                    esc_val[ne] = c[j];
                     ne++;
                 }
             }
         }
         std::memset(c, 0, 64 * sizeof(int32_t));
+        std::memset(q, 0, 64 * sizeof(int32_t));
     }
     for (; nm < v->pool_main; nm++) { main_idx[nm] = 0; main_val[nm] = 0; }
     for (; ne < v->pool_esc; ne++) { esc_idx[ne] = 0; esc_val[ne] = 0; }
