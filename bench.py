@@ -40,6 +40,9 @@ WINDOW = 8
 STREAMS = 4          # stream batch per dispatch round
 ROUNDS = 6           # rounds per measured pass
 PASSES = 3           # end-to-end repetitions (median reported)
+# Parse worker threads (parsers share nothing; ctypes releases the GIL).
+# 1 on this single-core bench host; set >1 on real multi-core hosts.
+PARSE_THREADS = int(os.environ.get("BENCH_PARSE_THREADS", "1"))
 
 
 _T0 = time.time()
@@ -145,10 +148,15 @@ def make_window_filler(geom, window: int, km: int, ke: int):
 
     offs, total = blob_layout(geom, window, km, ke)
     mb = geom.mb_size
+    pool = None
+    if PARSE_THREADS > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(PARSE_THREADS)
 
     def fill(streams):
         blob = np.zeros((len(streams), total), np.uint8)
-        for s, st in enumerate(streams):
+
+        def fill_stream(s, st):
             row = blob[s]
 
             def view(name, dtype, n):
@@ -176,6 +184,12 @@ def make_window_filler(geom, window: int, km: int, ke: int):
                     mvh[w], mvv[w], nbc[w], msc[w], w * mb * 6 * 64)
                 nm += cm
                 ne += ce
+
+        if pool is not None:
+            list(pool.map(lambda a: fill_stream(*a), enumerate(streams)))
+        else:
+            for s, st in enumerate(streams):
+                fill_stream(s, st)
         return blob
 
     return fill

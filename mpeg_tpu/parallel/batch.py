@@ -374,6 +374,16 @@ def make_blob_scan_decoder(geom: FrameGeometry, window: int, km: int,
 make_scan_decoder = make_dense_scan_decoder
 
 
+@functools.lru_cache(maxsize=None)
+def _rgba_converter(geom: FrameGeometry):
+    """Jitted flat-YCbCr -> RGBA (for the end-of-stream flush frame)."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.color import flat_frame_to_rgba
+
+    return jax.jit(lambda flat: flat_frame_to_rgba(flat, geom, jnp))
+
+
 class BatchVideoDecoder:
     """Throughput-oriented video decoder: host parse feeding windowed
     device dispatches.
@@ -384,13 +394,17 @@ class BatchVideoDecoder:
     """
 
     def __init__(self, buf, window: int = None, transport: str = None,
-                 use_native: bool = None, stats=None, config=None):
+                 use_native: bool = None, stats=None, config=None,
+                 emit_rgba: bool = False):
         """`buf` is a Buffer (Python parse) or bytes (native parse).
 
         use_native: parse with the C++ parser (requires blob transport);
         default: native when available and the input is bytes.
         stats: an optional utils.profiling.DecodeStats populated per
         window (parse/dispatch timing, bytes transferred).
+        emit_rgba: displayed frames come back as [H, W, 4] uint8 RGBA
+        (fused on-device BT.601, exact Go image/color integers) instead
+        of flat YCbCr buffers.
         Unset arguments fall back to `config` (default config.DEFAULT).
         """
         from ..config import DEFAULT
@@ -429,6 +443,7 @@ class BatchVideoDecoder:
         self.window = window
         self.transport = transport   # "blob" | "dense"
         self.stats = stats
+        self.emit_rgba = emit_rgba
         self._scan = None
         self._scan_caps = None
         self._carry = None
@@ -459,9 +474,11 @@ class BatchVideoDecoder:
         if self._scan is None or self._scan_caps != caps:
             if self.transport == "blob":
                 self._scan = make_blob_scan_decoder(
-                    self.geom, self.window, self._km, self._ke)
+                    self.geom, self.window, self._km, self._ke,
+                    emit_rgba=self.emit_rgba)
             else:
-                self._scan = make_dense_scan_decoder(self.geom)
+                self._scan = make_dense_scan_decoder(
+                    self.geom, emit_rgba=self.emit_rgba)
             self._scan_caps = caps
         if self._carry is None:
             # Three DISTINCT buffers: the scan donates its carry, and XLA
@@ -566,7 +583,10 @@ class BatchVideoDecoder:
             if self._has_reference_frame and self._stream_ended() \
                     and self._types and self._types[-1] != PICTURE_TYPE_B:
                 self._has_reference_frame = False
-                return [self._carry[2]]   # backward
+                flush = self._carry[2]   # backward
+                if self.emit_rgba:
+                    flush = _rgba_converter(self.geom)(flush)
+                return [flush]
             return []
 
         self._ensure_device_state()

@@ -33,6 +33,29 @@ def test_batch_scan_matches_golden(mpeg1video_path):
         f"batch hash {h.sum64():#018x} over {frames} frames"
 
 
+def test_batch_decoder_rgba_output(mpeg1video_path):
+    """BatchVideoDecoder(emit_rgba=True) returns fused on-device RGBA
+    frames byte-identical to Frame.rgba(), including the end-of-stream
+    flush frame."""
+    data = open(mpeg1video_path, "rb").read()
+    dec = BatchVideoDecoder(data, window=64, emit_rgba=True)
+    frames = [np.asarray(f) for f in dec.decode_all()]
+    assert len(frames) == 260
+    assert frames[0].shape == (120, 160, 4)
+
+    buf = mpeg.Buffer(open(mpeg1video_path, "rb"))
+    buf.set_load_callback(buf.load_reader_callback)
+    seq = mpeg.Video(buf, backend="numpy")
+    for n in (0, 1, 128, 259):   # spot-check incl. the flushed last frame
+        buf2 = mpeg.Buffer(open(mpeg1video_path, "rb"))
+        buf2.set_load_callback(buf2.load_reader_callback)
+        v = mpeg.Video(buf2, backend="numpy")
+        for _ in range(n + 1):
+            f = v.decode()
+        np.testing.assert_array_equal(frames[n], f.rgba(),
+                                      err_msg=f"frame {n}")
+
+
 def test_blob_escape_lane():
     """Values with no exact int16 premultiplier quotient (junk-stream
     leaks, huge intra DCs) must round-trip through the escape lane: the
