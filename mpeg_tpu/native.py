@@ -74,6 +74,13 @@ def load() -> ctypes.CDLL:
         ctypes.c_void_p, p_u32, p_i16, p_u32, p_i32,
         p_i16, p_i16, p_u16, p_u8, ctypes.c_int64]
     lib.vp_blob_emit.restype = ctypes.c_int
+    _window_args = [ctypes.c_void_p] + [ctypes.c_int64] * 6 + [
+        p_u32, p_i16, p_u32, p_i32, p_i16, p_i16, p_u16, p_u8,
+        p_i32, p_i32, ctypes.c_int64, p_i64]
+    lib.vp_blob_window.argtypes = _window_args
+    lib.vp_blob_window.restype = ctypes.c_int64
+    lib.pp_blob_window.argtypes = _window_args
+    lib.pp_blob_window.restype = ctypes.c_int64
 
     lib.vp_rewind.argtypes = [ctypes.c_void_p]
     lib.vp_unconsumed.argtypes = [ctypes.c_void_p]
@@ -249,6 +256,26 @@ class NativeVideoParser:
         return int(self._lib.vp_blob_emit(
             self._h, main_idx, main_val, esc_idx, esc_val,
             mvh, mvv, nbcls, misc, idx_base))
+
+    _window_fn = "vp_blob_window"
+
+    def blob_window(self, start_pic: int, max_pics: int, km: int, ke: int,
+                    nm0: int, ne0: int, main_idx, main_val, esc_idx,
+                    esc_val, mvh, mvv, nbcls, misc, flags, types):
+        """Parse+emit a whole window in ONE native call (the per-picture
+        ctypes round trips cost more than the 1080p parse itself).
+
+        Fills pictures [start_pic, max_pics); record offsets continue at
+        (nm0, ne0).  Returns (pictures_emitted, nm, ne, pending_type):
+        pending_type != 0 means a prepared picture needs more pool
+        capacity — size it with blob_counts, grow, call again."""
+        out = np.zeros(3, np.int64)
+        mb = self.geom().mb_size
+        n = getattr(self._lib, self._window_fn)(
+            self._h, start_pic, max_pics, km, ke, nm0, ne0,
+            main_idx, main_val, esc_idx, esc_val,
+            mvh, mvv, nbcls, misc, flags, types, mb, out)
+        return int(n), int(out[0]), int(out[1]), int(out[2])
 
 
 class NativeHostDecoder(NativeVideoParser):
@@ -439,6 +466,9 @@ class NativePipeline:
         return int(self._lib.pp_video_blob_emit(
             self._h, main_idx, main_val, esc_idx, esc_val,
             mvh, mvv, nbcls, misc, idx_base))
+
+    _window_fn = "pp_blob_window"
+    blob_window = NativeVideoParser.blob_window
 
     # -- audio side ---------------------------------------------------------
 

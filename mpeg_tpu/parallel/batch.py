@@ -497,62 +497,60 @@ class BatchVideoDecoder:
             plans.append(item)
         return plans
 
-    def _native_window_blob(self):
-        """Parse up to `window` pictures natively, emitting pool records
-        and packed metadata directly (no dense detour); returns
-        (blob | None, types)."""
+    def _alloc_window_blob(self):
+        """Allocate a window blob for the current pool buckets and return
+        (blob, field views)."""
         geom = self.geom
         mb = geom.mb_size
         w = self.window
-        flags = np.zeros(w, np.int32)
-        mvh = np.zeros((w, mb), np.int16)
-        mvv = np.zeros((w, mb), np.int16)
-        nbcls = np.zeros((w, mb), np.uint16)
-        misc = np.zeros((w, mb), np.uint8)
-        main_chunks, esc_chunks, types = [], [], []
-        nm = ne = 0
-        for i in range(w):
-            ptype = self.native.blob_prepare()
-            if ptype == 0:
-                break
-            cm, ce = self.native.blob_counts()
-            mi = np.empty(max(cm, 1), np.uint32)
-            mv = np.empty(max(cm, 1), np.int16)
-            ei = np.empty(max(ce, 1), np.uint32)
-            ev = np.empty(max(ce, 1), np.int32)
-            f = self.native.blob_emit(mi, mv, ei, ev, mvh[i], mvv[i],
-                                      nbcls[i], misc[i],
-                                      idx_base=i * mb * 6 * 64)
-            flags[i] = f
-            main_chunks.append((mi[:cm], mv[:cm]))
-            esc_chunks.append((ei[:ce], ev[:ce]))
-            nm += cm
-            ne += ce
-            types.append(ptype)
-        if not types:
-            return None, []
-
-        self._km = max(self._km, pool_bucket(nm, _MIN_KM))
-        self._ke = max(self._ke, pool_bucket(ne, _MIN_KE))
         offs, total = blob_layout(geom, w, self._km, self._ke)
         blob = np.zeros(total, np.uint8)
 
-        def put(name, arr):
-            off, size = offs[name]
-            raw = arr.reshape(-1).view(np.uint8)
-            assert raw.size <= size
-            blob[off:off + raw.size] = raw
+        def view(name, dtype, n):
+            off, _ = offs[name]
+            return blob[off:off + np.dtype(dtype).itemsize * n].view(dtype)
 
-        put("flags", flags)
-        put("mv_h", mvh)
-        put("mv_v", mvv)
-        put("nbcls", nbcls)
-        put("mbmisc", misc)
-        put("main_idx", np.concatenate([c[0] for c in main_chunks]))
-        put("main_val", np.concatenate([c[1] for c in main_chunks]))
-        put("esc_idx", np.concatenate([c[0] for c in esc_chunks]))
-        put("esc_val", np.concatenate([c[1] for c in esc_chunks]))
-        return blob, types
+        views = {
+            "flags": view("flags", np.int32, w),
+            "mv_h": view("mv_h", np.int16, w * mb),
+            "mv_v": view("mv_v", np.int16, w * mb),
+            "nbcls": view("nbcls", np.uint16, w * mb),
+            "mbmisc": view("mbmisc", np.uint8, w * mb),
+            "main_idx": view("main_idx", np.uint32, self._km),
+            "main_val": view("main_val", np.int16, self._km),
+            "esc_idx": view("esc_idx", np.uint32, self._ke),
+            "esc_val": view("esc_val", np.int32, self._ke),
+        }
+        return blob, views
+
+    def _native_window_blob(self):
+        """Parse up to `window` pictures in one native call per window
+        (plus one per pool-bucket growth); returns (blob | None, types)."""
+        w = self.window
+        types = np.zeros(w, np.int32)
+        blob, v = self._alloc_window_blob()
+        w_done = nm = ne = 0
+        while True:
+            n, nm, ne, pending = self.native.blob_window(
+                w_done, w, self._km, self._ke, nm, ne,
+                v["main_idx"], v["main_val"], v["esc_idx"], v["esc_val"],
+                v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
+                v["flags"], types)
+            w_done += n
+            if pending == 0 or w_done >= w:
+                break
+            # Grow the sticky buckets to fit the pending picture, carry
+            # the partially-filled window into the new layout.
+            cm, ce = self.native.blob_counts()
+            self._km = pool_bucket(nm + cm, self._km)
+            self._ke = pool_bucket(max(ne + ce, 1), self._ke)
+            old = v
+            blob, v = self._alloc_window_blob()
+            for k in old:
+                v[k][:old[k].size] = old[k]
+        if w_done == 0:
+            return None, []
+        return blob, [int(t) for t in types[:w_done]]
 
     def decode_window(self) -> list[Optional[np.ndarray]]:
         """Parse + reconstruct one window; returns the displayed frames

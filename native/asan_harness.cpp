@@ -59,6 +59,52 @@ static int run_blob(const std::vector<uint8_t>& data) {
     return pics;
 }
 
+// Whole-window path incl. the pool-growth protocol (small initial
+// capacity so pending/regrow exercises on every real stream).
+static int run_window(const std::vector<uint8_t>& data) {
+    void* p = vp_create();
+    vp_feed(p, data.data(), (int64_t)data.size());
+    vp_signal_end(p);
+    if (!vp_has_header(p)) { vp_destroy(p); return 0; }
+    int64_t mb = ((vp_width(p) + 15) >> 4) * ((vp_height(p) + 15) >> 4);
+    const int64_t W = 8;
+    int64_t km = 64, ke = 1;
+    int pics = 0;
+    for (;;) {
+        int64_t w_done = 0, nm = 0, ne = 0;
+        for (;;) {
+            std::vector<uint32_t> mi(km);
+            std::vector<int16_t> mv(km);
+            std::vector<uint32_t> ei(ke);
+            std::vector<int32_t> ev(ke);
+            std::vector<int16_t> mvh(W * mb), mvv(W * mb);
+            std::vector<uint16_t> nbc(W * mb);
+            std::vector<uint8_t> msc(W * mb);
+            std::vector<int32_t> flags(W), types(W);
+            int64_t out[3];
+            // NOTE: arrays are re-zeroed per growth retry here (the real
+            // caller copies the partial window across); emitted records
+            // stay consumed either way, which is what the sweep checks.
+            w_done += vp_blob_window(p, w_done, W, km, ke, nm, ne,
+                                     mi.data(), mv.data(), ei.data(),
+                                     ev.data(), mvh.data(), mvv.data(),
+                                     nbc.data(), msc.data(), flags.data(),
+                                     types.data(), mb, out);
+            nm = out[0];
+            ne = out[1];
+            if (out[2] == 0 || w_done >= W) break;
+            int64_t counts[2];
+            vp_blob_counts(p, counts);
+            while (nm + counts[0] > km) km *= 2;
+            while (ne + counts[1] > ke) ke *= 2;
+        }
+        if (w_done == 0) break;
+        pics += (int)w_done;
+    }
+    vp_destroy(p);
+    return pics;
+}
+
 static int run_dense(const std::vector<uint8_t>& data) {
     void* p = vp_create();
     vp_feed(p, data.data(), (int64_t)data.size());
@@ -172,6 +218,8 @@ int main(int argc, char** argv) {
     std::string mode = argc > 2 ? argv[2] : "blob";
     if (mode == "blob" || mode == "all")
         printf("blob: %d pictures\n", run_blob(data));
+    if (mode == "window" || mode == "all")
+        printf("window: %d pictures\n", run_window(data));
     if (mode == "dense" || mode == "all")
         printf("dense: %d pictures\n", run_dense(data));
     if (mode == "host" || mode == "all")

@@ -159,7 +159,44 @@ struct BitReader {
         bit += len;
         return (int)values[idx];
     }
+
+    // DCT-coefficient VLC via a two-level table: the 16-bit direct table
+    // is 192 KB (L2-resident, one miss per coefficient); an 8-bit first
+    // level (1 KB, L1-resident) resolves the short codes that dominate
+    // real streams, falling back to the full table for long codes.
+    int read_vlc_dct(const uint16_t* values, const uint8_t* lengths,
+                     const uint32_t* fast8) {
+        int64_t byte_pos = bit >> 3;
+        if (byte_pos + 8 <= size) {
+            uint64_t w = window64(byte_pos);
+            uint32_t idx = (uint32_t)((w >> (48 - (bit & 7))) & 0xFFFF);
+            uint32_t f = fast8[idx >> 8];   // (val << 8) | len, 0 = miss
+            if (f & 0xFF) {
+                bit += f & 0xFF;
+                return (int)(f >> 8);
+            }
+            int len = lengths[idx];
+            if (len == 0) throw CorruptStream{};
+            bit += len;
+            return (int)values[idx];
+        }
+        return read_vlc(values, lengths, 16);
+    }
 };
+
+// First-level DCT table: entry = (value << 8) | code_length for codes of
+// <= 8 bits (every 16-bit completion of such a prefix shares the symbol
+// by construction of the direct table); 0 = fall back to the full table.
+static uint32_t DCT_FAST8[256];
+static const bool DCT_FAST8_INIT = [] {
+    for (int i = 0; i < 256; i++) {
+        int idx = i << 8;
+        uint8_t len = DCT_COEFF_LEN[idx];
+        DCT_FAST8[i] = (len > 0 && len <= 8)
+            ? (((uint32_t)DCT_COEFF_VAL[idx] << 8) | len) : 0;
+    }
+    return true;
+}();
 
 // ---------------------------------------------------------------------------
 // Host-only reconstruction (the C++ CPU fallback, SURVEY §2b N6/N7):
@@ -315,6 +352,7 @@ struct VideoParser {
     // vp_blob_emit only touches coded blocks — the v1 full rescan of
     // every dirty MB's 384 coefficients was ~40% of the parse cost.
     bool track_pool = false;
+    bool plan_pending = false;          // prepared picture awaiting emit
     std::vector<int32_t> coded_stamp;   // per-block generation stamp
     std::vector<int32_t> coded_blocks;  // block ids (mb*6+b) this picture
     std::vector<uint16_t> blk_main, blk_esc;
@@ -524,8 +562,8 @@ struct VideoParser {
         }
 
         for (;;) {
-            int coeff = (int)(uint16_t)br.read_vlc(
-                DCT_COEFF_VAL, DCT_COEFF_LEN, DCT_COEFF_BITS);
+            int coeff = (int)(uint16_t)br.read_vlc_dct(
+                DCT_COEFF_VAL, DCT_COEFF_LEN, DCT_FAST8);
             if (coeff == 0x0001 && n > 0 && br.read1() == 0) break;   // EOB
 
             int run, level;
@@ -1400,6 +1438,7 @@ void vp_rewind(void* p) {
     v->coded_blocks.clear();
     v->pool_main = 0;
     v->pool_esc = 0;
+    v->plan_pending = false;
     v->generation++;
 }
 
@@ -1422,6 +1461,7 @@ double vp_framerate(void* p) { return ((VideoParser*)p)->frame_rate; }
 // arrays, then clears the internal plan for the next picture.
 int vp_parse_blob_prepare(void* p) {
     auto* v = (VideoParser*)p;
+    if (v->plan_pending) return v->last_ptype;   // idempotent until emit
     v->sync();
     if (!v->has_header()) return 0;
     v->ensure_own_plan();
@@ -1439,6 +1479,7 @@ int vp_parse_blob_prepare(void* p) {
     } catch (const CorruptStream&) {
         v->last_ptype = 0;
     }
+    v->plan_pending = v->last_ptype != 0;
     return v->last_ptype;
 }
 
@@ -1510,7 +1551,60 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
     v->pool_main = 0;
     v->pool_esc = 0;
     v->generation++;
+    v->plan_pending = false;
     return (is_ref ? 1 : 0) | 2;
+}
+
+// Whole-window parse+emit in one call (the per-picture ctypes round
+// trips cost more than the parse itself at 1080p).  Fills pictures
+// [start_pic, max_pics) with record offsets continuing at (nm0, ne0);
+// stops early when the stream runs dry or the pool capacity would
+// overflow — the overflowing picture stays prepared (out[2] = its type;
+// size it via vp_blob_counts, grow, re-call to continue the window).
+// out = {nm, ne, pending_type}; returns pictures emitted this call.
+static int64_t blob_window_impl(
+        VideoParser* v, int (*prepare)(void*), void* prepare_arg,
+        int64_t start_pic, int64_t max_pics, int64_t km, int64_t ke,
+        int64_t nm0, int64_t ne0,
+        uint32_t* main_idx, int16_t* main_val,
+        uint32_t* esc_idx, int32_t* esc_val,
+        int16_t* mvh, int16_t* mvv, uint16_t* nbcls, uint8_t* misc,
+        int32_t* flags, int32_t* types, int64_t mb, int64_t* out) {
+    int64_t nm = nm0, ne = ne0, w = start_pic;
+    out[2] = 0;
+    while (w < max_pics) {
+        int t = prepare(prepare_arg);
+        if (t == 0) break;
+        if (nm + v->pool_main > km || ne + v->pool_esc > ke) {
+            out[2] = t;
+            break;
+        }
+        int64_t cm = v->pool_main, ce = v->pool_esc;
+        flags[w] = vp_blob_emit(
+            v, main_idx + nm, main_val + nm, esc_idx + ne, esc_val + ne,
+            mvh + w * mb, mvv + w * mb, nbcls + w * mb, misc + w * mb,
+            w * mb * 6 * 64);
+        types[w] = t;
+        nm += cm;
+        ne += ce;
+        w++;
+    }
+    out[0] = nm;
+    out[1] = ne;
+    return w - start_pic;
+}
+
+int64_t vp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
+                       int64_t km, int64_t ke, int64_t nm0, int64_t ne0,
+                       uint32_t* main_idx, int16_t* main_val,
+                       uint32_t* esc_idx, int32_t* esc_val,
+                       int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
+                       uint8_t* misc, int32_t* flags, int32_t* types,
+                       int64_t mb, int64_t* out) {
+    return blob_window_impl((VideoParser*)p, vp_parse_blob_prepare, p,
+                            start_pic, max_pics, km, ke, nm0, ne0,
+                            main_idx, main_val, esc_idx, esc_val,
+                            mvh, mvv, nbcls, misc, flags, types, mb, out);
 }
 
 int vp_parse_picture(void* p, int32_t* coeffs, int32_t* nblocks,
@@ -1740,6 +1834,20 @@ int pp_video_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
                        uint8_t* misc, int64_t idx_base) {
     return vp_blob_emit(&((Pipeline*)p)->vp, main_idx, main_val,
                         esc_idx, esc_val, mvh, mvv, nbcls, misc, idx_base);
+}
+
+int64_t pp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
+                       int64_t km, int64_t ke, int64_t nm0, int64_t ne0,
+                       uint32_t* main_idx, int16_t* main_val,
+                       uint32_t* esc_idx, int32_t* esc_val,
+                       int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
+                       uint8_t* misc, int32_t* flags, int32_t* types,
+                       int64_t mb, int64_t* out) {
+    auto* pp = (Pipeline*)p;
+    return blob_window_impl(&pp->vp, pp_video_blob_prepare, p,
+                            start_pic, max_pics, km, ke, nm0, ne0,
+                            main_idx, main_val, esc_idx, esc_val,
+                            mvh, mvv, nbcls, misc, flags, types, mb, out);
 }
 
 // Audio pull: next MP2 frame's subband samples int32[36][2][32].
