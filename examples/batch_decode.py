@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
-"""Throughput decode: a raw mpeg1video ES through the windowed scan path.
+"""Throughput decode: a raw mpeg1video ES — or a whole .mpg program
+stream — through the windowed scan path.
 
-Usage: python examples/batch_decode.py [file.m1v]
+Usage: python examples/batch_decode.py [file.m1v | file.mpg]
 
 One device dispatch reconstructs a whole window of pictures (native C++
-parse feeding packed plan blobs); frames stay on device — here we just
-pull stats and one thumbnail back.
+demux+parse feeding window-pool blobs); frames stay on device — here we
+pull stats, one thumbnail and (for the PS demo) fused RGBA output back.
 """
 
 import os
@@ -17,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import mpeg_tpu as mpeg
-from mpeg_tpu.parallel import BatchVideoDecoder
+from mpeg_tpu.parallel import BatchAudioDecoder, BatchVideoDecoder
 
 
 def main():
@@ -37,6 +38,18 @@ def main():
     last = np.asarray(frames[-1])
     y = last[:geom.luma_size].reshape(geom.luma_height, geom.luma_width)
     print(f"last frame luma mean {y.mean():.1f}")
+
+    if bytes(data[:4]) == b"\x00\x00\x01\xBA":
+        # Program stream: audio rides the same fully-native pipeline,
+        # and video can come back as fused on-device RGBA.
+        pcm = BatchAudioDecoder(data).decode_all()
+        print(f"audio: {pcm.size // 2} samples "
+              f"({pcm.size / 2 / BatchAudioDecoder(data).samplerate:.1f}s)")
+        rgba = BatchVideoDecoder(data, window=32, emit_rgba=True)
+        first = np.asarray(rgba.decode_window()[0])
+        print(f"RGBA output: {first.shape} "
+              f"mean=({first[..., 0].mean():.0f}, "
+              f"{first[..., 1].mean():.0f}, {first[..., 2].mean():.0f})")
 
 
 if __name__ == "__main__":
