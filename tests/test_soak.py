@@ -58,6 +58,23 @@ def test_mux_parses_with_both_demuxers(long_mpg):
     assert last_pts[mpeg.PACKET_VIDEO_1] >= TARGET_SECONDS - 1.0
 
 
+def test_seek_on_long_stream(long_mpg):
+    """The byte-rate seek estimator over a minutes-class file: exact
+    seeks land within the reference's 0.5 s contract (mpeg_test.go
+    seek-coherence analog), far from the fixture's 9 s comfort zone."""
+    m = mpeg.MPEG(open(long_mpg, "rb"))
+    assert m.has_headers()
+    dur = m.duration()
+    assert dur >= TARGET_SECONDS - 1.0
+
+    for target in (5.0, 23.7, 44.2, TARGET_SECONDS - 5.0):
+        assert m.seek(target, True), f"seek({target}) failed"
+        assert abs(m.time - target) < 0.5, \
+            f"seek({target}) landed at {m.time:.3f}"
+        # decode resumes normally from the seek point
+        assert m.decode_video() is not None
+
+
 def test_soak_bounded_memory_and_av_drift(long_mpg):
     """Clock-driven decode of the whole minute-long stream: stream
     buffers stay bounded (compaction works) and A/V clocks never drift
