@@ -132,13 +132,6 @@ class Stream:
         self.native = native
         self.p = native.NativeVideoParser(data)
 
-    def next_type(self) -> int:
-        t = self.p.blob_prepare()
-        if t == 0:   # loop the stream
-            self.reloop()
-            t = self.p.blob_prepare()
-        return t
-
     def reloop(self):
         self.p = self.native.NativeVideoParser(self.data)
 
@@ -147,10 +140,9 @@ def make_window_filler(geom, window: int, km: int, ke: int):
     """Returns fill(streams) -> blob [S, total_bytes]: parses one window
     per stream, emitting pool records and metadata straight into the
     blob's field views (no intermediate copies)."""
-    from mpeg_tpu.parallel.batch import blob_layout
+    from mpeg_tpu.parallel.batch import blob_layout, blob_views
 
-    offs, total = blob_layout(geom, window, km, ke)
-    mb = geom.mb_size
+    _, total = blob_layout(geom, window, km, ke)
     pool = None
     if PARSE_THREADS > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -161,21 +153,10 @@ def make_window_filler(geom, window: int, km: int, ke: int):
         types = np.zeros((len(streams), window), np.int32)
 
         def fill_stream(s, st):
-            row = blob[s]
-
-            def view(name, dtype, n):
-                off, _ = offs[name]
-                return row[off:off + np.dtype(dtype).itemsize * n].view(dtype)
-
-            args = (view("main_idx", np.uint32, km),
-                    view("main_val", np.int16, km),
-                    view("esc_idx", np.uint32, ke),
-                    view("esc_val", np.int32, ke),
-                    view("mv_h", np.int16, window * mb),
-                    view("mv_v", np.int16, window * mb),
-                    view("nbcls", np.uint16, window * mb),
-                    view("mbmisc", np.uint8, window * mb),
-                    view("flags", np.int32, window), types[s])
+            v = blob_views(blob[s], geom, window, km, ke)
+            args = (v["main_idx"], v["main_val"], v["esc_idx"],
+                    v["esc_val"], v["mv_h"], v["mv_v"], v["nbcls"],
+                    v["mbmisc"], v["flags"], types[s])
 
             w_done = nm = ne = 0
             while w_done < window:

@@ -42,9 +42,14 @@ def main():
     if bytes(data[:4]) == b"\x00\x00\x01\xBA":
         # Program stream: audio rides the same fully-native pipeline,
         # and video can come back as fused on-device RGBA.
-        pcm = BatchAudioDecoder(data).decode_all()
-        print(f"audio: {pcm.size // 2} samples "
-              f"({pcm.size / 2 / BatchAudioDecoder(data).samplerate:.1f}s)")
+        adec = BatchAudioDecoder(data)
+        pcm = adec.decode_all()
+        rate = adec.samplerate
+        if rate:
+            print(f"audio: {pcm.size // 2} samples "
+                  f"({pcm.size / 2 / rate:.1f}s)")
+        else:
+            print("audio: no audio stream")
         rgba = BatchVideoDecoder(data, window=32, emit_rgba=True)
         first = np.asarray(rgba.decode_window()[0])
         print(f"RGBA output: {first.shape} "

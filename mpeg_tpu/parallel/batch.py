@@ -179,40 +179,62 @@ def _nb_classes(nblocks) -> np.ndarray:
         axis=1).astype(np.uint16)
 
 
-def pack_plans_blob(plans, geom: FrameGeometry, window: int,
-                    km: int, ke: int) -> np.ndarray:
-    """Pack a window of (plan, picture_type) pairs into one uint8 blob."""
+def blob_views(blob: np.ndarray, geom: FrameGeometry, window: int,
+               km: int, ke: int) -> dict:
+    """Typed field views into one window blob (single source of truth
+    for the Python-side layout; parser.cpp writes the same fields)."""
     offs, total = blob_layout(geom, window, km, ke)
+    assert blob.size == total and blob.dtype == np.uint8
     mb = geom.mb_size
-    blob = np.zeros(total, np.uint8)
 
     def view(name, dtype, n):
         off, size = offs[name]
         assert np.dtype(dtype).itemsize * n <= size
         return blob[off:off + np.dtype(dtype).itemsize * n].view(dtype)
 
-    flags = view("flags", np.int32, window)
-    mvh = view("mv_h", np.int16, window * mb).reshape(window, mb)
-    mvv = view("mv_v", np.int16, window * mb).reshape(window, mb)
-    nbcls = view("nbcls", np.uint16, window * mb).reshape(window, mb)
-    misc = view("mbmisc", np.uint8, window * mb).reshape(window, mb)
-    main_idx = view("main_idx", np.uint32, km)
-    main_val = view("main_val", np.int16, km)
-    esc_idx = view("esc_idx", np.uint32, ke)
-    esc_val = view("esc_val", np.int32, ke)
+    return {
+        "flags": view("flags", np.int32, window),
+        "mv_h": view("mv_h", np.int16, window * mb),
+        "mv_v": view("mv_v", np.int16, window * mb),
+        "nbcls": view("nbcls", np.uint16, window * mb),
+        "mbmisc": view("mbmisc", np.uint8, window * mb),
+        "main_idx": view("main_idx", np.uint32, km),
+        "main_val": view("main_val", np.int16, km),
+        "esc_idx": view("esc_idx", np.uint32, ke),
+        "esc_val": view("esc_val", np.int32, ke),
+    }
+
+
+def pack_plans_blob(plans, geom: FrameGeometry, window: int,
+                    km: int, ke: int, records=None) -> np.ndarray:
+    """Pack a window of (plan, picture_type) pairs into one uint8 blob.
+
+    `records` optionally carries precomputed plan_pool_records results
+    (one per plan) so callers that sized the buckets from the same
+    records don't recompute them."""
+    _, total = blob_layout(geom, window, km, ke)
+    mb = geom.mb_size
+    blob = np.zeros(total, np.uint8)
+    v = blob_views(blob, geom, window, km, ke)
+    flags = v["flags"]
+    mvh = v["mv_h"].reshape(window, mb)
+    mvv = v["mv_v"].reshape(window, mb)
+    nbcls = v["nbcls"].reshape(window, mb)
+    misc = v["mbmisc"].reshape(window, mb)
 
     nm = ne = 0
     for w, (plan, ptype) in enumerate(plans):
-        mi, mv, ei, ev = plan_pool_records(plan)
+        mi, mv, ei, ev = records[w] if records is not None \
+            else plan_pool_records(plan)
         if nm + mi.size > km or ne + ei.size > ke:
             raise ValueError(
                 f"pool capacity exceeded: main {nm + mi.size}/{km}, "
                 f"esc {ne + ei.size}/{ke}")
         base = w * mb * 6 * 64
-        main_idx[nm:nm + mi.size] = (mi + base).astype(np.uint32)
-        main_val[nm:nm + mi.size] = mv
-        esc_idx[ne:ne + ei.size] = (ei + base).astype(np.uint32)
-        esc_val[ne:ne + ei.size] = ev
+        v["main_idx"][nm:nm + mi.size] = (mi + base).astype(np.uint32)
+        v["main_val"][nm:nm + mi.size] = mv
+        v["esc_idx"][ne:ne + ei.size] = (ei + base).astype(np.uint32)
+        v["esc_val"][ne:ne + ei.size] = ev
         nm += mi.size
         ne += ei.size
         mvh[w] = plan.mv_h.astype(np.int16)
@@ -440,8 +462,11 @@ class BatchVideoDecoder:
                 b.set_load_callback(b.load_reader_callback)
                 buf = b
             self.video = Video(buf, backend="plan")
+        if transport not in ("blob", "dense"):
+            raise ValueError(f"unknown transport {transport!r} "
+                             "(expected 'blob' or 'dense')")
         self.window = window
-        self.transport = transport   # "blob" | "dense"
+        self.transport = transport
         self.stats = stats
         self.emit_rgba = emit_rgba
         self._scan = None
@@ -500,28 +525,10 @@ class BatchVideoDecoder:
     def _alloc_window_blob(self):
         """Allocate a window blob for the current pool buckets and return
         (blob, field views)."""
-        geom = self.geom
-        mb = geom.mb_size
-        w = self.window
-        offs, total = blob_layout(geom, w, self._km, self._ke)
+        _, total = blob_layout(self.geom, self.window, self._km, self._ke)
         blob = np.zeros(total, np.uint8)
-
-        def view(name, dtype, n):
-            off, _ = offs[name]
-            return blob[off:off + np.dtype(dtype).itemsize * n].view(dtype)
-
-        views = {
-            "flags": view("flags", np.int32, w),
-            "mv_h": view("mv_h", np.int16, w * mb),
-            "mv_v": view("mv_v", np.int16, w * mb),
-            "nbcls": view("nbcls", np.uint16, w * mb),
-            "mbmisc": view("mbmisc", np.uint8, w * mb),
-            "main_idx": view("main_idx", np.uint32, self._km),
-            "main_val": view("main_val", np.int16, self._km),
-            "esc_idx": view("esc_idx", np.uint32, self._ke),
-            "esc_val": view("esc_val", np.int32, self._ke),
-        }
-        return blob, views
+        return blob, blob_views(blob, self.geom, self.window,
+                                self._km, self._ke)
 
     def _native_window_blob(self):
         """Parse up to `window` pictures in one native call per window
@@ -568,11 +575,13 @@ class BatchVideoDecoder:
             types = [t for _, t in plans]
             blob = None
             if plans and self.transport == "blob":
-                nm, ne = count_pool_records(plans)
+                records = [plan_pool_records(p) for p, _ in plans]
+                nm = sum(r[0].size for r in records)
+                ne = sum(r[2].size for r in records)
                 self._km = max(self._km, pool_bucket(nm, _MIN_KM))
                 self._ke = max(self._ke, pool_bucket(ne, _MIN_KE))
                 blob = pack_plans_blob(plans, self.geom, self.window,
-                                       self._km, self._ke)
+                                       self._km, self._ke, records=records)
         t_parse = time.perf_counter() - t0
 
         if not types:
