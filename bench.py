@@ -424,5 +424,64 @@ def main():
     log(f"total bench wall: {time.time() - t_start:.1f}s")
 
 
+def mesh_bench(n_devices: int):
+    """Multi-stream mesh mode (BENCH_MESH=N): the sharded blob decoder
+    on an N-device virtual CPU mesh — validates the multi-chip scaling
+    shape (per-device fps; DP over streams, psum stat on the 'ICI').
+    Run separately from the TPU bench: JAX_PLATFORMS switches per
+    process."""
+    import jax
+    import numpy as np
+    from mpeg_tpu.parallel import sharding as shd
+    from mpeg_tpu.parallel.batch import blob_layout, pool_bucket
+
+    path = ensure_fixture()
+    data = open(path, "rb").read()
+    streams = [Stream(data) for _ in range(n_devices)]
+    geom = streams[0].p.geom()
+
+    # bucket discovery on one stream
+    st = Stream(data)
+    mb = geom.mb_size
+    km, ke = 4096, 64
+    while True:
+        done = nm = ne = 0
+        t = np.zeros(WINDOW, np.int32)
+        a = (np.zeros(km, np.uint32), np.zeros(km, np.int16),
+             np.zeros(ke, np.uint32), np.zeros(ke, np.int32),
+             np.zeros(WINDOW * mb, np.int16), np.zeros(WINDOW * mb, np.int16),
+             np.zeros(WINDOW * mb, np.uint16), np.zeros(WINDOW * mb, np.uint8),
+             np.zeros(WINDOW, np.int32), t)
+        n, nm, ne, pending = st.p.blob_window(0, WINDOW, km, ke, 0, 0, *a)
+        if not pending:
+            break
+        cm, ce = st.p.blob_counts()
+        km, ke = pool_bucket(nm + cm, km), pool_bucket(max(ne + ce, 1), ke)
+
+    fill = make_window_filler(geom, WINDOW, km, ke)
+    mesh = shd.make_mesh(jax.devices()[:n_devices])
+    decode = shd.make_sharded_blob_decoder(geom, mesh, WINDOW, km, ke)
+    carry = shd.zero_carry(geom, n_devices, mesh)
+    blobs = fill(streams)
+    carry, disps, px = decode(carry, blobs)   # compile
+    jax.block_until_ready(disps)
+
+    t0 = time.time()
+    total_px = 0
+    for _ in range(ROUNDS):
+        carry, disps, px = decode(carry, fill(streams))
+        total_px += int(px)
+    jax.block_until_ready(disps)
+    dt = time.time() - t0
+    frames = total_px // geom.frame_size
+    log(f"mesh mode: {n_devices} devices x window {WINDOW}: "
+        f"{frames} frames in {dt:.2f}s -> {frames / dt:.1f} fps total, "
+        f"{frames / dt / n_devices:.1f} fps/device "
+        f"(1-core host parse feeds all {n_devices} shards)")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MESH"):
+        mesh_bench(int(os.environ["BENCH_MESH"]))
+    else:
+        main()
