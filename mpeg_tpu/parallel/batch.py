@@ -100,9 +100,6 @@ def stack_plans(plans, geom: FrameGeometry, window: int):
 # layout), so a whole window is one transfer and the device unpacks with
 # free bitcast/slice ops followed by a single scatter-add densify.
 
-BLOB_FIELDS = ("flags", "mv_h", "mv_v", "nbcls", "mbmisc",
-               "main_idx", "main_val", "esc_idx", "esc_val")
-
 _MIN_KM = 4096    # minimum main-pool bucket (records)
 _MIN_KE = 64      # minimum escape-pool bucket (records)
 
