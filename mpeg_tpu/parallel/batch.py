@@ -414,7 +414,7 @@ class BatchVideoDecoder:
 
     def __init__(self, buf, window: int = None, transport: str = None,
                  use_native: bool = None, stats=None, config=None,
-                 emit_rgba: bool = False):
+                 emit_rgba: bool = False, streaming: bool = False):
         """`buf` is a Buffer (Python parse) or bytes (native parse).
 
         use_native: parse with the C++ parser (requires blob transport);
@@ -424,6 +424,10 @@ class BatchVideoDecoder:
         emit_rgba: displayed frames come back as [H, W, 4] uint8 RGBA
         (fused on-device BT.601, exact Go image/color integers) instead
         of flat YCbCr buffers.
+        streaming: the input arrives incrementally via feed(); call
+        signal_end() when the source is exhausted (decode_window returns
+        whatever whole pictures are buffered in the meantime).  The
+        Python-parse path streams via a push-fed Buffer instead.
         Unset arguments fall back to `config` (default config.DEFAULT).
         """
         from ..config import DEFAULT
@@ -436,16 +440,17 @@ class BatchVideoDecoder:
                 native_mod.available()
         self.native = None
         self.video = None
+        self._native_mod = native_mod
+        self._streaming = streaming
+        self._ended = not streaming
+        self._use_native = use_native
+        self._prefix = b""   # bytes held back until the container is known
         if use_native:
             assert transport == "blob", "native parse emits blob records"
             data = buf if isinstance(buf, (bytes, bytearray)) else \
                 bytes(buf.bytes())
-            if bytes(data[:4]) == b"\x00\x00\x01\xBA":
-                # MPEG-PS container: the fully-native pipeline (demux +
-                # ES parse in C++) exposes the same blob contract.
-                self.native = native_mod.NativePipeline(data)
-            else:
-                self.native = native_mod.NativeVideoParser(data)
+            if data or not streaming:
+                self._make_native(bytes(data))
         else:
             if isinstance(buf, (bytes, bytearray)):
                 import io
@@ -476,18 +481,57 @@ class BatchVideoDecoder:
         self._km = _MIN_KM
         self._ke = _MIN_KE
 
+    def _make_native(self, data: bytes):
+        """Choose the container (PS pipeline vs raw ES parser) from the
+        first bytes and create the native parser; in streaming mode the
+        choice waits until 4 bytes have arrived."""
+        if self._streaming:
+            self._prefix += data
+            if len(self._prefix) < 4:
+                return
+            data, self._prefix = self._prefix, b""
+        if data[:4] == b"\x00\x00\x01\xBA":
+            # MPEG-PS container: the fully-native pipeline (demux +
+            # ES parse in C++) exposes the same blob contract.
+            self.native = self._native_mod.NativePipeline()
+        else:
+            self.native = self._native_mod.NativeVideoParser()
+        self.native.feed(data)
+        if not self._streaming:
+            self.native.signal_end()
+
+    def feed(self, data: bytes) -> None:
+        """Streaming mode: push more source bytes (ES or PS)."""
+        assert self._streaming, "construct with streaming=True to feed"
+        if self.video is not None:
+            self.video.buf.write(data)
+        elif self.native is None:
+            self._make_native(bytes(data))
+        else:
+            self.native.feed(data)
+
+    def signal_end(self) -> None:
+        """Streaming mode: the source is exhausted (enables the final
+        partial-picture parse and the end-of-stream flush frame)."""
+        self._ended = True
+        if self.video is not None:
+            self.video.buf.signal_end()
+        elif self.native is not None:
+            self.native.signal_end()
+
     @property
     def geom(self) -> FrameGeometry:
         return self.native.geom() if self.native is not None \
             else self.video.geom
 
     def _has_header(self) -> bool:
-        return self.native.has_header() if self.native is not None \
-            else self.video.has_header()
+        if self.video is not None:
+            return self.video.has_header()
+        return self.native is not None and self.native.has_header()
 
     def _stream_ended(self) -> bool:
         if self.native is not None:
-            return True   # native mode gets the whole buffer up front
+            return self._ended
         return self.video.buf.has_ended()
 
     def _ensure_device_state(self):

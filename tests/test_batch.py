@@ -2,6 +2,7 @@
 sequential per-picture decode exactly (same 260 frames, same bytes)."""
 
 import numpy as np
+import pytest
 
 import mpeg_tpu as mpeg
 from mpeg_tpu.parallel import BatchVideoDecoder
@@ -54,6 +55,31 @@ def test_batch_decoder_rgba_output(mpeg1video_path):
             f = v.decode()
         np.testing.assert_array_equal(frames[n], f.rgba(),
                                       err_msg=f"frame {n}")
+
+
+@pytest.mark.parametrize("fixture", ["es", "ps"])
+def test_streaming_feed_matches_whole_buffer(fixture, mpeg1video_path,
+                                             mpg_path):
+    """Native streaming mode (feed() in chunks, decode between feeds)
+    produces exactly the whole-buffer decode, for both raw ES and PS."""
+    path = mpeg1video_path if fixture == "es" else mpg_path
+    data = open(path, "rb").read()
+
+    whole = BatchVideoDecoder(data, window=8)
+    want = [np.asarray(f).copy() for f in whole.decode_all()]
+
+    dec = BatchVideoDecoder(b"", window=8, streaming=True, use_native=True)
+    got = []
+    for i in range(0, len(data), 30011):
+        dec.feed(data[i:i + 30011])
+        got.extend(np.asarray(f).copy() for f in dec.decode_window())
+    dec.signal_end()
+    while chunk := dec.decode_window():
+        got.extend(np.asarray(f).copy() for f in chunk)
+
+    assert len(got) == len(want)
+    for n, (a, b) in enumerate(zip(got, want)):
+        assert np.array_equal(a, b), f"frame {n} differs"
 
 
 def test_blob_escape_lane():
