@@ -407,19 +407,33 @@ def main():
         f"(single core)")
 
     # MP2 audio: Msamples/s through native parse + batched filterbank.
-    from mpeg_tpu.parallel import BatchAudioDecoder
-    adata = open(os.path.join(REPO, "tests", "testdata", "test.mp2"),
-                 "rb").read()
-    BatchAudioDecoder(adata, window=64).decode_window()   # compile
-    log("audio compile+first window done")
-    dec = BatchAudioDecoder(adata, window=64)
-    t0 = time.time()
-    total = 0
-    while (pcm := dec.decode_window()) is not None:
-        total += pcm.size // 2   # per-channel samples
-    a_dt = time.time() - t0
-    log(f"MP2 audio: {total} samples in {a_dt:.2f}s -> "
-        f"{total / a_dt / 1e6:.2f} Msamples/s")
+    # Run in a SUBPROCESS with a hard timeout: in-process this stage has
+    # hit multi-minute tunnel stalls right after the heavy video work
+    # (standalone it takes ~20 s), and a secondary metric must not be
+    # able to blow the bench wall.
+    import subprocess
+    audio_code = (
+        "import sys, time; sys.path.insert(0, %r)\n"
+        "import jax\n"
+        "jax.config.update('jax_compilation_cache_dir', %r)\n"
+        "from mpeg_tpu.parallel import BatchAudioDecoder\n"
+        "adata = open(%r, 'rb').read()\n"
+        "BatchAudioDecoder(adata, window=64).decode_window()\n"
+        "dec = BatchAudioDecoder(adata, window=64)\n"
+        "t0 = time.time(); total = 0\n"
+        "while (pcm := dec.decode_window()) is not None:\n"
+        "    total += pcm.size // 2\n"
+        "dt = time.time() - t0\n"
+        "print(f'{total} samples in {dt:.2f}s -> "
+        "{total / dt / 1e6:.2f} Msamples/s')\n"
+    ) % (REPO, cache_dir,
+         os.path.join(REPO, "tests", "testdata", "test.mp2"))
+    try:
+        r = subprocess.run([sys.executable, "-c", audio_code],
+                           capture_output=True, text=True, timeout=240)
+        log(f"MP2 audio: {r.stdout.strip() or r.stderr.strip()[-200:]}")
+    except subprocess.TimeoutExpired:
+        log("MP2 audio: SKIPPED (stage exceeded 240s — tunnel stall)")
 
     log(f"total bench wall: {time.time() - t_start:.1f}s")
 

@@ -19,7 +19,10 @@ class BatchAudioDecoder:
     """Throughput-oriented MP2 decoder: bytes in, PCM windows out."""
 
     def __init__(self, data: bytes, window: int = 32,
-                 use_native: bool = None):
+                 use_native: bool = None, streaming: bool = False):
+        """streaming: bytes arrive incrementally via feed(); call
+        signal_end() at source exhaustion (decode_window returns the
+        frames buffered so far in the meantime)."""
         window = max(4, window - window % 4)   # parallel path needs 4n frames
         from .. import native as native_mod
         if use_native is None:
@@ -28,22 +31,65 @@ class BatchAudioDecoder:
         self.native = None
         self._pipeline = None
         self._py = None
-        if use_native and bytes(data[:4]) == b"\x00\x00\x01\xBA":
-            # MPEG-PS container: fully-native demux + MP2 parse.
-            self._pipeline = native_mod.NativePipeline(bytes(data))
-        elif use_native:
-            self.native = native_mod.NativeAudioParser(bytes(data))
+        self._native_mod = native_mod
+        self._streaming = streaming
+        self._use_native = use_native
+        self._prefix = b""
+        if use_native:
+            if data or not streaming:
+                self._make_native(bytes(data))
         else:
             import io
             from ..audio import Audio
             from ..buffer import Buffer
-            buf = Buffer(io.BytesIO(bytes(data)))
-            buf.set_load_callback(buf.load_reader_callback)
+            if streaming:
+                buf = Buffer(None)
+                if data:
+                    buf.write(bytes(data))
+            else:
+                buf = Buffer(io.BytesIO(bytes(data)))
+                buf.set_load_callback(buf.load_reader_callback)
             self._py = Audio(buf, backend="numpy")
 
         self._synth = None
         self._v = None
         self._v_pos = None
+        self._ended = not streaming
+        self._pending: list = []
+
+    def _make_native(self, data: bytes):
+        if self._streaming:
+            self._prefix += data
+            if len(self._prefix) < 4:
+                return
+            data, self._prefix = self._prefix, b""
+        if data[:4] == b"\x00\x00\x01\xBA":
+            # MPEG-PS container: fully-native demux + MP2 parse.
+            self._pipeline = self._native_mod.NativePipeline()
+            target = self._pipeline
+        else:
+            self.native = self._native_mod.NativeAudioParser()
+            target = self.native
+        target.feed(data)
+        if not self._streaming:
+            target.signal_end()
+
+    def feed(self, data: bytes) -> None:
+        """Streaming mode: push more source bytes (MP2 ES or PS)."""
+        assert self._streaming, "construct with streaming=True to feed"
+        if self._py is not None:
+            self._py.buf.write(data)
+        elif self.native is None and self._pipeline is None:
+            self._make_native(bytes(data))
+        else:
+            (self._pipeline or self.native).feed(data)
+
+    def signal_end(self) -> None:
+        self._ended = True
+        if self._py is not None:
+            self._py.buf.signal_end()
+        elif self._pipeline is not None or self.native is not None:
+            (self._pipeline or self.native).signal_end()
 
     @property
     def samplerate(self) -> int:
@@ -80,17 +126,22 @@ class BatchAudioDecoder:
 
     def decode_window(self) -> Optional[np.ndarray]:
         """Decode up to `window` frames; returns interleaved float32
-        [n_frames * 2304] or None at end of stream."""
+        [n_frames * 2304], or None at end of stream (or, in streaming
+        mode, when a full window hasn't accumulated yet — the V-ring
+        carry advances in whole windows, so partial windows only flush
+        after signal_end)."""
         import jax.numpy as jnp
 
-        frames = []
-        while len(frames) < self.window:
+        while len(self._pending) < self.window:
             f = self._parse_frame()
             if f is None:
                 break
-            frames.append(f)
-        if not frames:
+            self._pending.append(f)
+        if not self._pending:
             return None
+        if len(self._pending) < self.window and not self._ended:
+            return None   # streaming: wait for a whole window
+        frames, self._pending = self._pending, []
 
         if self._synth is None:
             # Parallel (scan-free) synthesis: all DCTs at once, windowed

@@ -119,3 +119,32 @@ def test_samples_format_values(mp2_path):
     assert s.bytes() == want_s16.tobytes()
     s.format = mpeg.AudioFormat.F32
     assert s.bytes() == want_f32.tobytes()
+
+
+def test_streaming_audio_feed_matches_whole_buffer(mp2_path, mpg_path):
+    """Audio streaming mode (feed() in chunks) reproduces the
+    whole-buffer PCM exactly — ES golden hash and PS parity.  Partial
+    windows must NOT synthesize mid-stream (the V-ring carry advances in
+    whole windows)."""
+    from mpeg_tpu.parallel import BatchAudioDecoder
+    from mpeg_tpu.utils import Fnv1a64
+
+    for path, is_ps in ((mp2_path, False), (mpg_path, True)):
+        data = open(path, "rb").read()
+        want = BatchAudioDecoder(data, window=32).decode_all()
+
+        dec = BatchAudioDecoder(b"", window=32, streaming=True)
+        chunks = []
+        for i in range(0, len(data), 23456):
+            dec.feed(data[i:i + 23456])
+            while (pcm := dec.decode_window()) is not None:
+                chunks.append(pcm)
+        dec.signal_end()
+        while (pcm := dec.decode_window()) is not None:
+            chunks.append(pcm)
+        got = np.concatenate(chunks)
+        np.testing.assert_array_equal(got, want, err_msg=path.name)
+        if not is_ps:
+            h = Fnv1a64()
+            h.write(got.astype("<f4").tobytes())
+            assert h.sum64() in GOLDEN_AUDIO_HASHES
