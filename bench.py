@@ -136,6 +136,37 @@ class Stream:
         self.p = self.native.NativeVideoParser(self.data)
 
 
+def discover_buckets(data: bytes, window: int):
+    """One full-fixture sweep: per-window pool maxima -> (geom, pictures,
+    km, ke) capacity buckets (every window of the looping fixture fits
+    because loop length is a multiple of the window)."""
+    from mpeg_tpu.parallel.batch import pool_bucket
+
+    st = Stream(data)
+    geom = st.p.geom()
+    mb = geom.mb_size
+    meta = (np.zeros(mb, np.int16), np.zeros(mb, np.int16),
+            np.zeros(mb, np.uint16), np.zeros(mb, np.uint8))
+    pics = 0
+    max_main = max_esc = win_main = win_esc = 0
+    while st.p.blob_prepare() != 0:
+        cm, ce = st.p.blob_counts()
+        win_main += cm
+        win_esc += ce
+        st.p.blob_emit(np.empty(max(cm, 1), np.uint32),
+                       np.empty(max(cm, 1), np.int16),
+                       np.empty(max(ce, 1), np.uint32),
+                       np.empty(max(ce, 1), np.int32), *meta, 0)
+        pics += 1
+        if pics % window == 0:
+            max_main = max(max_main, win_main)
+            max_esc = max(max_esc, win_esc)
+            win_main = win_esc = 0
+    max_main = max(max_main, win_main)
+    max_esc = max(max_esc, win_esc)
+    return geom, pics, pool_bucket(max_main, 4096), pool_bucket(max_esc, 64)
+
+
 def make_window_filler(geom, window: int, km: int, ke: int):
     """Returns fill(streams) -> blob [S, total_bytes]: parses one window
     per stream, emitting pool records and metadata straight into the
@@ -205,30 +236,7 @@ def main():
     data = open(path, "rb").read()
 
     # --- stage 1a: pool bucket discovery (1 pass over the fixture) ---
-    st = Stream(data)
-    geom = st.p.geom()
-    pics = 0
-    max_main = max_esc = 0
-    win_main = win_esc = 0
-    mb = geom.mb_size
-    meta_scratch = (np.zeros(mb, np.int16), np.zeros(mb, np.int16),
-                    np.zeros(mb, np.uint16), np.zeros(mb, np.uint8))
-    while st.p.blob_prepare() != 0:
-        cm, ce = st.p.blob_counts()
-        win_main += cm
-        win_esc += ce
-        st.p.blob_emit(np.empty(max(cm, 1), np.uint32),
-                       np.empty(max(cm, 1), np.int16),
-                       np.empty(max(ce, 1), np.uint32),
-                       np.empty(max(ce, 1), np.int32),
-                       *meta_scratch, 0)
-        pics += 1
-        if pics % WINDOW == 0:
-            max_main, max_esc = max(max_main, win_main), max(max_esc, win_esc)
-            win_main = win_esc = 0
-    max_main, max_esc = max(max_main, win_main), max(max_esc, win_esc)
-    km = pool_bucket(max_main, 4096)
-    ke = pool_bucket(max_esc, 64)
+    geom, pics, km, ke = discover_buckets(data, WINDOW)
     _, total_bytes = blob_layout(geom, WINDOW, km, ke)
 
     # --- stage 1b: parse budget through the production window filler ---
@@ -424,14 +432,21 @@ def main():
         "while (pcm := dec.decode_window()) is not None:\n"
         "    total += pcm.size // 2\n"
         "dt = time.time() - t0\n"
+        # platform in the output: on exclusive-TPU hosts the child may
+        # only get CPU while the parent holds the chip — say so.
         "print(f'{total} samples in {dt:.2f}s -> "
-        "{total / dt / 1e6:.2f} Msamples/s')\n"
+        "{total / dt / 1e6:.2f} Msamples/s "
+        "[{jax.devices()[0].platform}]')\n"
     ) % (REPO, cache_dir,
          os.path.join(REPO, "tests", "testdata", "test.mp2"))
     try:
         r = subprocess.run([sys.executable, "-c", audio_code],
                            capture_output=True, text=True, timeout=240)
-        log(f"MP2 audio: {r.stdout.strip() or r.stderr.strip()[-200:]}")
+        if r.returncode == 0 and r.stdout.strip():
+            log(f"MP2 audio: {r.stdout.strip()}")
+        else:
+            log(f"MP2 audio: FAILED rc={r.returncode}: "
+                f"{r.stderr.strip()[-200:]}")
     except subprocess.TimeoutExpired:
         log("MP2 audio: SKIPPED (stage exceeded 240s — tunnel stall)")
 
@@ -445,32 +460,12 @@ def mesh_bench(n_devices: int):
     Run separately from the TPU bench: JAX_PLATFORMS switches per
     process."""
     import jax
-    import numpy as np
     from mpeg_tpu.parallel import sharding as shd
-    from mpeg_tpu.parallel.batch import blob_layout, pool_bucket
 
     path = ensure_fixture()
     data = open(path, "rb").read()
     streams = [Stream(data) for _ in range(n_devices)]
-    geom = streams[0].p.geom()
-
-    # bucket discovery on one stream
-    st = Stream(data)
-    mb = geom.mb_size
-    km, ke = 4096, 64
-    while True:
-        done = nm = ne = 0
-        t = np.zeros(WINDOW, np.int32)
-        a = (np.zeros(km, np.uint32), np.zeros(km, np.int16),
-             np.zeros(ke, np.uint32), np.zeros(ke, np.int32),
-             np.zeros(WINDOW * mb, np.int16), np.zeros(WINDOW * mb, np.int16),
-             np.zeros(WINDOW * mb, np.uint16), np.zeros(WINDOW * mb, np.uint8),
-             np.zeros(WINDOW, np.int32), t)
-        n, nm, ne, pending = st.p.blob_window(0, WINDOW, km, ke, 0, 0, *a)
-        if not pending:
-            break
-        cm, ce = st.p.blob_counts()
-        km, ke = pool_bucket(nm + cm, km), pool_bucket(max(ne + ce, 1), ke)
+    geom, _, km, ke = discover_buckets(data, WINDOW)
 
     fill = make_window_filler(geom, WINDOW, km, ke)
     mesh = shd.make_mesh(jax.devices()[:n_devices])
@@ -481,13 +476,13 @@ def mesh_bench(n_devices: int):
     jax.block_until_ready(disps)
 
     t0 = time.time()
-    total_px = 0
-    for _ in range(ROUNDS):
+    px_rounds = []   # keep device-side: a host sync per round would
+    for _ in range(ROUNDS):   # serialize parse against device work
         carry, disps, px = decode(carry, fill(streams))
-        total_px += int(px)
+        px_rounds.append(px)
     jax.block_until_ready(disps)
     dt = time.time() - t0
-    frames = total_px // geom.frame_size
+    frames = sum(int(p) for p in px_rounds) // geom.frame_size
     log(f"mesh mode: {n_devices} devices x window {WINDOW}: "
         f"{frames} frames in {dt:.2f}s -> {frames / dt:.1f} fps total, "
         f"{frames / dt / n_devices:.1f} fps/device "

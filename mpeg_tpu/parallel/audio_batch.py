@@ -98,6 +98,8 @@ class BatchAudioDecoder:
         if self.native is not None:
             self.native.has_header()
             return self.native.samplerate
+        if self._py is None:
+            return 0   # streaming: container not known yet (< 4 bytes fed)
         return self._py.samplerate()
 
     @property
@@ -107,6 +109,8 @@ class BatchAudioDecoder:
         if self.native is not None:
             self.native.has_header()
             return self.native.channels
+        if self._py is None:
+            return 0   # streaming: container not known yet
         return self._py.get_channels()
 
     def _parse_frame(self) -> Optional[np.ndarray]:
@@ -114,6 +118,8 @@ class BatchAudioDecoder:
             return self._pipeline.parse_next_audio_frame()
         if self.native is not None:
             return self.native.parse_next_frame()
+        if self._py is None:
+            return None   # streaming: container not known yet
         a = self._py
         if a.next_frame_data_size == 0:
             a.next_frame_data_size = a._decode_header()

@@ -460,8 +460,15 @@ class BatchVideoDecoder:
                         "MPEG-PS input needs the native pipeline "
                         "(use_native=True) or the MPEG class; the Python "
                         "plan parser consumes elementary streams only")
-                b = Buffer(io.BytesIO(bytes(buf)))
-                b.set_load_callback(b.load_reader_callback)
+                if streaming:
+                    # Push-fed buffer: a reader-backed one would report
+                    # has_ended as soon as the initial bytes drained.
+                    b = Buffer(None)
+                    if buf:
+                        b.write(bytes(buf))
+                else:
+                    b = Buffer(io.BytesIO(bytes(buf)))
+                    b.set_load_callback(b.load_reader_callback)
                 buf = b
             self.video = Video(buf, backend="plan")
         if transport not in ("blob", "dense"):
@@ -532,7 +539,9 @@ class BatchVideoDecoder:
     def _stream_ended(self) -> bool:
         if self.native is not None:
             return self._ended
-        return self.video.buf.has_ended()
+        # Push-fed buffers can't infer EOS after compaction (total_size
+        # vs shrunken data), so the streaming flag is authoritative.
+        return self._ended or self.video.buf.has_ended()
 
     def _ensure_device_state(self):
         import jax.numpy as jnp

@@ -211,8 +211,14 @@ class Video:
         self.buf.bit_index = 0
         return True
 
-    def _native_ended(self) -> bool:
+    def _source_ended(self) -> bool:
+        """EOS for the internal parse gates: reader exhausted OR the
+        owner called signal_end (push-fed streaming; buffer compaction
+        defeats the reference's len==total_size inference)."""
         return self.buf.has_ended() or self.buf.end_signaled
+
+    def _native_ended(self) -> bool:
+        return self._source_ended()
 
     def _native_has_header(self) -> bool:
         self._native_feed()
@@ -358,7 +364,7 @@ class Video:
                     # At EOF, a pending reference frame is still due.
                     if self.has_reference_frame and \
                             not self.assume_no_b_frames and \
-                            self.buf.has_ended() and self.picture_type in (
+                            self._source_ended() and self.picture_type in (
                                 T.PICTURE_TYPE_INTRA,
                                 T.PICTURE_TYPE_PREDICTIVE):
                         self.has_reference_frame = False
@@ -369,7 +375,7 @@ class Video:
             # Whole-picture-buffered check: seek the next picture start code
             # (or accept a final picture when the source has ended).
             if self.buf.has_start_code(T.START_PICTURE) == -1 and \
-                    not self.buf.has_ended():
+                    not self._source_ended():
                 return None
             self.buf.discard_read_bytes()
 
@@ -560,7 +566,7 @@ class Video:
                 if self.start_code == -1:
                     return None
             if self.buf.has_start_code(T.START_PICTURE) == -1 and \
-                    not self.buf.has_ended():
+                    not self._source_ended():
                 return None
             self.buf.discard_read_bytes()
             before = len(self._pending_plans)

@@ -57,18 +57,23 @@ def test_batch_decoder_rgba_output(mpeg1video_path):
                                       err_msg=f"frame {n}")
 
 
-@pytest.mark.parametrize("fixture", ["es", "ps"])
-def test_streaming_feed_matches_whole_buffer(fixture, mpeg1video_path,
-                                             mpg_path):
-    """Native streaming mode (feed() in chunks, decode between feeds)
-    produces exactly the whole-buffer decode, for both raw ES and PS."""
+@pytest.mark.parametrize("fixture,use_native", [
+    ("es", True), ("ps", True), ("es", False),
+])
+def test_streaming_feed_matches_whole_buffer(fixture, use_native,
+                                             mpeg1video_path, mpg_path):
+    """Streaming mode (feed() in chunks, decode between feeds) produces
+    exactly the whole-buffer decode — native ES+PS and the Python-parse
+    path (which must use a push-fed Buffer, not a reader-backed one:
+    a drained reader reports has_ended mid-stream)."""
     path = mpeg1video_path if fixture == "es" else mpg_path
     data = open(path, "rb").read()
 
     whole = BatchVideoDecoder(data, window=8)
     want = [np.asarray(f).copy() for f in whole.decode_all()]
 
-    dec = BatchVideoDecoder(b"", window=8, streaming=True, use_native=True)
+    dec = BatchVideoDecoder(b"", window=8, streaming=True,
+                            use_native=use_native)
     got = []
     for i in range(0, len(data), 30011):
         dec.feed(data[i:i + 30011])
@@ -80,6 +85,23 @@ def test_streaming_feed_matches_whole_buffer(fixture, mpeg1video_path,
     assert len(got) == len(want)
     for n, (a, b) in enumerate(zip(got, want)):
         assert np.array_equal(a, b), f"frame {n} differs"
+
+
+def test_streaming_poll_before_any_bytes():
+    """Polling a streaming decoder before any/enough bytes arrived must
+    return empty results, not crash (video and audio)."""
+    from mpeg_tpu.parallel import BatchAudioDecoder
+
+    v = BatchVideoDecoder(b"", window=8, streaming=True, use_native=True)
+    assert v.decode_window() == []
+    v.feed(b"\x00\x00")   # container still unknown (< 4 bytes)
+    assert v.decode_window() == []
+
+    a = BatchAudioDecoder(b"", window=8, streaming=True)
+    assert a.decode_window() is None
+    assert a.samplerate == 0 and a.channels == 0
+    a.feed(b"\x00\x00")
+    assert a.decode_window() is None
 
 
 def test_blob_escape_lane():
