@@ -75,6 +75,7 @@ class Demux:
         self.first_pts: dict[int, float] = {}
         self.last_pts: dict[int, float] = {}
 
+        self.last_seek_offset = -1
         self.start_code = -1
         self.has_pack_header = False
         self.has_system_header = False
@@ -241,6 +242,10 @@ class Demux:
 
             if last_valid_packet_start != -1:
                 self._buffer_seek(last_valid_packet_start)
+                # Absolute byte offset of the found packet's start code
+                # (start of `00 00 01 <id>`): lets callers re-feed a
+                # parser/pipeline from this point (batch clip decode).
+                self.last_seek_offset = last_valid_packet_start - 4
                 return self._decode_packet(typ)
             if found_packet_in_range:
                 # Right range but no intra frame: widen exponentially.

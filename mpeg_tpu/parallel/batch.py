@@ -100,6 +100,40 @@ def stack_plans(plans, geom: FrameGeometry, window: int):
 # layout), so a whole window is one transfer and the device unpacks with
 # free bitcast/slice ops followed by a single scatter-add densify.
 
+def _extract_sequence_header(es: bytes) -> bytes:
+    """Slice the MPEG-1 sequence header (+ any extension/user data)
+    from the head of a video elementary stream: from 00 00 01 B3 up to
+    the first GOP/picture start code."""
+    start = es.find(b"\x00\x00\x01\xB3")
+    if start < 0:
+        return b""
+    pos = start + 4
+    while True:
+        nxt = es.find(b"\x00\x00\x01", pos)
+        if nxt < 0:
+            return b""   # header truncated
+        if nxt + 3 < len(es) and es[nxt + 3] in (0x00, 0xB8):
+            return es[start:nxt]
+        pos = nxt + 3
+
+
+def _pes_packet(stream_id: int, payload: bytes) -> bytes:
+    """Minimal MPEG-1 PES packet (no PTS) around `payload`."""
+    return (b"\x00\x00\x01" + bytes([stream_id]) +
+            (len(payload) + 1).to_bytes(2, "big") + b"\x0F" + payload)
+
+
+def _payload_has_intra(data, length: int) -> bool:
+    """Does this video packet payload start an intra picture?  Picture
+    start code then frame-type bits == 1 (same sniff the reference's
+    intra seek uses, demux.go:308-322)."""
+    for i in range(length - 6):
+        if data[i] == 0x00 and data[i + 1] == 0x00 and \
+                data[i + 2] == 0x01 and data[i + 3] == 0x00:
+            return (data[i + 5] & 0x38) == 8
+    return False
+
+
 _MIN_KM = 4096    # minimum main-pool bucket (records)
 _MIN_KE = 64      # minimum escape-pool bucket (records)
 
@@ -483,10 +517,74 @@ class BatchVideoDecoder:
         self._carry = None
         self._has_reference_frame = False
         self._types: list[int] = []
+        self._refs_parsed = 0
+        self._drop_leading_b = False   # set by at_time (open-GOP cut)
         # Sticky pool capacity buckets (monotone growth limits recompiles:
         # the first I-heavy window sets the high-water mark).
         self._km = _MIN_KM
         self._ke = _MIN_KE
+
+    @classmethod
+    def at_time(cls, data: bytes, seek_time: float, **kwargs):
+        """Random-access clip decode: a fresh decoder positioned at the
+        intra frame at/before `seek_time` of an MPEG-PS byte buffer
+        (serving-style clip extraction without decoding the prefix).
+
+        Returns (decoder, packet_pts) or None when no intra packet is
+        found.  Uses a deterministic linear scan over the video packets
+        (host byte-work at memory speed; the interactive MPEG class
+        keeps the reference's byte-rate jump seek, whose convergence is
+        state-sensitive).  The clip is the PS pack+system headers plus
+        the stream from the intra packet on — the same tune-in contract
+        as the reference's intra seek (streams carry per-GOP sequence
+        headers).
+        """
+        import io
+        from ..buffer import Buffer
+        from ..demux import (
+            Demux, PACKET_INVALID_TS, PACKET_VIDEO_1, REORDER_WINDOW,
+        )
+
+        if bytes(data[:4]) != b"\x00\x00\x01\xBA":
+            raise ValueError("at_time needs an MPEG-PS byte buffer")
+        buf = Buffer(io.BytesIO(bytes(data)))
+        buf.set_load_callback(buf.load_reader_callback)
+        dmx = Demux(buf)
+        header_end = buf.tell()   # absolute position after pack+system
+        target = dmx.get_start_time(PACKET_VIDEO_1) + max(0.0, seek_time)
+
+        best_off = -1
+        best_pts = PACKET_INVALID_TS
+        es_head = b""   # leading video ES bytes (holds the seq header)
+        while buf.find_start_code(PACKET_VIDEO_1) != -1:
+            packet_start = buf.tell() - 4   # the 00 00 01 E0 itself
+            packet = dmx._decode_packet(PACKET_VIDEO_1)
+            if packet is None:
+                break
+            if len(es_head) < 4096:
+                es_head += bytes(packet.data)
+            if packet.pts == PACKET_INVALID_TS:
+                continue
+            if _payload_has_intra(packet.data, packet.length) and \
+                    (best_off < 0 or
+                     best_pts <= packet.pts <= target):
+                # latest intra at/before the target; a too-early target
+                # clamps to the stream's first intra
+                best_off, best_pts = packet_start, packet.pts
+            if packet.pts > target + REORDER_WINDOW:
+                break   # past the reorder window: nothing better ahead
+
+        if best_off < 0:
+            return None
+        # Seed the clip with the sequence header: mid-stream tune-in
+        # needs it, and this framework supports streams that carry it
+        # only at the start (the MPEG class keeps it across rewind —
+        # video.go:195-201 — so its seek doesn't need this).
+        seq = _pes_packet(PACKET_VIDEO_1, _extract_sequence_header(es_head))
+        clip = bytes(data[:header_end]) + seq + bytes(data[best_off:])
+        dec = cls(clip, **kwargs)
+        dec._drop_leading_b = True
+        return dec, best_pts
 
     def _make_native(self, data: bytes):
         """Choose the container (PS pipeline vs raw ES parser) from the
@@ -663,8 +761,14 @@ class BatchVideoDecoder:
         out = []
         for i, ptype in enumerate(types):
             self._types.append(ptype)
+            if ptype != PICTURE_TYPE_B:
+                self._refs_parsed += 1
             if ptype == PICTURE_TYPE_B:
-                out.append(disps[i])
+                # Mid-stream tune-in (at_time): B pictures before the
+                # second reference frame predict from the pre-cut frame
+                # the clip doesn't have — drop them (open-GOP artifact).
+                if not (self._drop_leading_b and self._refs_parsed < 2):
+                    out.append(disps[i])
             elif self._has_reference_frame:
                 out.append(disps[i])
             else:

@@ -104,6 +104,43 @@ def test_streaming_poll_before_any_bytes():
     assert a.decode_window() is None
 
 
+@pytest.mark.parametrize("target", [0.0, 4.0, 8.6])
+def test_clip_extraction_at_time(target, mpg_path):
+    """Random-access clip decode (BatchVideoDecoder.at_time) starts at
+    an intra frame at/before the target (GOPs are 3 s apart in the
+    fixture) and its frames align exactly with a suffix of the full
+    sequential decode."""
+    data = open(mpg_path, "rb").read()
+    got = BatchVideoDecoder.at_time(data, target, window=16)
+    assert got is not None
+    dec, pts = got
+    frames = [np.asarray(f)[:dec.geom.frame_size]
+              for f in dec.decode_all()]
+    assert frames
+
+    # Contract: chosen intra is at/before the target (anchored on
+    # StartTime), within one GOP of it — or clamped to the first intra.
+    m = mpeg.MPEG(open(mpg_path, "rb"), backend="numpy",
+                  config=mpeg.Config(parser="python"))
+    start = m.demux.get_start_time(mpeg.PACKET_VIDEO_1)
+    assert pts <= start + target + 3.0 + 0.1
+    if target >= 4.0:
+        assert pts >= start + target - 3.1
+        assert len(frames) < 230   # the prefix really was skipped
+
+    # The clip must be an exact suffix of the whole-stream decode.
+    full = BatchVideoDecoder(data, window=16)
+    want = [np.asarray(f)[:full.geom.frame_size]
+            for f in full.decode_all()]
+    align = next((i for i in range(len(want))
+                  if np.array_equal(want[i], frames[0])), None)
+    assert align is not None, f"target {target}: clip start not found"
+    for n, a in enumerate(frames):
+        assert np.array_equal(a, want[align + n]), \
+            f"target {target}: frame {n} (full[{align + n}]) differs"
+    assert align + len(frames) == len(want)   # runs to stream end
+
+
 def test_blob_escape_lane():
     """Values with no exact int16 premultiplier quotient (junk-stream
     leaks, huge intra DCs) must round-trip through the escape lane: the
