@@ -551,7 +551,12 @@ class BatchVideoDecoder:
         buf.set_load_callback(buf.load_reader_callback)
         dmx = Demux(buf)
         header_end = buf.tell()   # absolute position after pack+system
-        target = dmx.get_start_time(PACKET_VIDEO_1) + max(0.0, seek_time)
+        dmx.get_start_time(PACKET_VIDEO_1)
+        # Anchor on the raw first PTS (the reference demuxer's own seek
+        # anchor, demux.go:216-254): GOP boundaries sit at
+        # first_pts + k*gop, so targets like t=6.0 pick the intended GOP.
+        anchor = dmx.first_pts.get(PACKET_VIDEO_1, 0.0)
+        target = anchor + max(0.0, seek_time)
 
         best_off = -1
         best_pts = PACKET_INVALID_TS
