@@ -21,7 +21,7 @@ import numpy as np
 
 from mpeg_tpu.parallel import BatchVideoDecoder
 from mpeg_tpu.parallel import sharding as sh
-from mpeg_tpu.parallel.batch import blob_views, blob_layout, pool_bucket
+from mpeg_tpu.parallel.batch import blob_views, blob_layout
 
 
 def main():
@@ -50,16 +50,17 @@ def main():
 
     # One window per clip, all extracted through the native pipeline,
     # stacked and decoded in ONE sharded dispatch.
-    blobs, km, ke = [], 4096, 64
+    blobs = []
+    km = ke = 0
     for dec in decs:
-        blob, types = dec._native_window_blob()
+        blob, _types = dec._native_window_blob()
         km, ke = max(km, dec._km), max(ke, dec._ke)
-        blobs.append((blob, dec._km, dec._ke, types))
+        blobs.append((blob, dec._km, dec._ke))
 
     # Re-layout every clip's blob to the common capacity buckets.
     _, total = blob_layout(geom, window, km, ke)
     stacked = np.zeros((n, total), np.uint8)
-    for s, (blob, bkm, bke, types) in enumerate(blobs):
+    for s, (blob, bkm, bke) in enumerate(blobs):
         src = blob_views(blob, geom, window, bkm, bke)
         dst = blob_views(stacked[s], geom, window, km, ke)
         for k in src:

@@ -51,6 +51,19 @@ class InvalidHeaderError(Exception):
     """Pack and system headers were not found (demux.go:32)."""
 
 
+def payload_has_intra(data, length: int) -> bool:
+    """Does this video packet payload start an intra picture?  Picture
+    start code, then frame-type bits == 1 — the exact sniff (including
+    the `length - 6` bound) of the reference's intra seek
+    (demux.go:308-322).  Shared by Demux.seek and the batch clip
+    extraction."""
+    for i in range(length - 6):
+        if data[i] == 0x00 and data[i + 1] == 0x00 and \
+                data[i + 2] == 0x01 and data[i + 3] == 0x00:
+            return (data[i + 5] & 0x38) == 8
+    return False
+
+
 @dataclass
 class Packet:
     """One demuxed PES packet (demux.go:11-17)."""
@@ -75,7 +88,6 @@ class Demux:
         self.first_pts: dict[int, float] = {}
         self.last_pts: dict[int, float] = {}
 
-        self.last_seek_offset = -1
         self.start_code = -1
         self.has_pack_header = False
         self.has_system_header = False
@@ -229,23 +241,13 @@ class Demux:
                     first_packet_time = packet.pts
 
                 if force_intra:
-                    data = packet.data
-                    for i in range(packet.length - 6):
-                        # picture start code, then frame type bits (1=intra)
-                        if data[i] == 0x00 and data[i + 1] == 0x00 and \
-                                data[i + 2] == 0x01 and data[i + 3] == 0x00:
-                            if (data[i + 5] & 0x38) == 8:
-                                last_valid_packet_start = packet_start
-                            break
+                    if payload_has_intra(packet.data, packet.length):
+                        last_valid_packet_start = packet_start
                 else:
                     last_valid_packet_start = packet_start
 
             if last_valid_packet_start != -1:
                 self._buffer_seek(last_valid_packet_start)
-                # Absolute byte offset of the found packet's start code
-                # (start of `00 00 01 <id>`): lets callers re-feed a
-                # parser/pipeline from this point (batch clip decode).
-                self.last_seek_offset = last_valid_packet_start - 4
                 return self._decode_packet(typ)
             if found_packet_in_range:
                 # Right range but no intra frame: widen exponentially.

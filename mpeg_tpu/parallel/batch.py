@@ -123,17 +123,6 @@ def _pes_packet(stream_id: int, payload: bytes) -> bytes:
             (len(payload) + 1).to_bytes(2, "big") + b"\x0F" + payload)
 
 
-def _payload_has_intra(data, length: int) -> bool:
-    """Does this video packet payload start an intra picture?  Picture
-    start code then frame-type bits == 1 (same sniff the reference's
-    intra seek uses, demux.go:308-322)."""
-    for i in range(length - 6):
-        if data[i] == 0x00 and data[i + 1] == 0x00 and \
-                data[i + 2] == 0x01 and data[i + 3] == 0x00:
-            return (data[i + 5] & 0x38) == 8
-    return False
-
-
 _MIN_KM = 4096    # minimum main-pool bucket (records)
 _MIN_KE = 64      # minimum escape-pool bucket (records)
 
@@ -543,6 +532,7 @@ class BatchVideoDecoder:
         from ..buffer import Buffer
         from ..demux import (
             Demux, PACKET_INVALID_TS, PACKET_VIDEO_1, REORDER_WINDOW,
+            payload_has_intra,
         )
 
         if bytes(data[:4]) != b"\x00\x00\x01\xBA":
@@ -570,14 +560,17 @@ class BatchVideoDecoder:
                 es_head += bytes(packet.data)
             if packet.pts == PACKET_INVALID_TS:
                 continue
-            if _payload_has_intra(packet.data, packet.length) and \
+            if payload_has_intra(packet.data, packet.length) and \
                     (best_off < 0 or
                      best_pts <= packet.pts <= target):
                 # latest intra at/before the target; a too-early target
                 # clamps to the stream's first intra
                 best_off, best_pts = packet_start, packet.pts
-            if packet.pts > target + REORDER_WINDOW:
-                break   # past the reorder window: nothing better ahead
+            if best_off >= 0 and packet.pts > target + REORDER_WINDOW:
+                # past the reorder window with an intra in hand: nothing
+                # better ahead (without one, keep scanning — the first
+                # intra may come long after the first PTS)
+                break
 
         if best_off < 0:
             return None
@@ -714,10 +707,21 @@ class BatchVideoDecoder:
 
     def decode_window(self) -> list[Optional[np.ndarray]]:
         """Parse + reconstruct one window; returns the displayed frames
-        (flat uint8 device arrays; None entries are undisplayed)."""
+        (flat uint8 device arrays).  An empty list means end of stream
+        (or, in streaming mode, that more bytes are needed) — windows
+        whose displays are all absorbed by the reference delay or the
+        open-GOP B-drop advance to the next window internally so callers
+        can keep treating [] as 'no more output now'."""
+        while True:
+            out, parsed = self._decode_window_once()
+            if out or not parsed:
+                return out
+
+    def _decode_window_once(self):
+        """One window; returns (displays, pictures_parsed)."""
         import time
         if not self._has_header():
-            return []
+            return [], 0
 
         t0 = time.perf_counter()
         if self.native is not None:
@@ -746,8 +750,8 @@ class BatchVideoDecoder:
                 flush = self._carry[2]   # backward
                 if self.emit_rgba:
                     flush = _rgba_converter(self.geom)(flush)
-                return [flush]
-            return []
+                return [flush], 0
+            return [], 0
 
         self._ensure_device_state()
         t0 = time.perf_counter()
@@ -778,7 +782,7 @@ class BatchVideoDecoder:
                 out.append(disps[i])
             else:
                 self._has_reference_frame = True
-        return out
+        return out, len(types)
 
     def decode_all(self) -> list:
         """Decode the whole stream; returns flat frame buffers in display

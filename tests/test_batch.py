@@ -141,6 +141,20 @@ def test_clip_extraction_at_time(target, mpg_path):
     assert align + len(frames) == len(want)   # runs to stream end
 
 
+def test_clip_extraction_small_window(mpg_path):
+    """A tiny window whose first displays are all absorbed (reference
+    delay + open-GOP B-drop) must not read as end-of-stream: the clip
+    decodes the same frames as with a large window."""
+    data = open(mpg_path, "rb").read()
+    big, _ = BatchVideoDecoder.at_time(data, 4.0, window=16)
+    want = [np.asarray(f).copy() for f in big.decode_all()]
+    small, _ = BatchVideoDecoder.at_time(data, 4.0, window=2)
+    got = [np.asarray(f).copy() for f in small.decode_all()]
+    assert len(got) == len(want) and len(got) > 100
+    for n, (a, b) in enumerate(zip(got, want)):
+        assert np.array_equal(a, b), f"frame {n} differs"
+
+
 def test_blob_escape_lane():
     """Values with no exact int16 premultiplier quotient (junk-stream
     leaks, huge intra DCs) must round-trip through the escape lane: the
