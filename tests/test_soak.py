@@ -75,6 +75,33 @@ def test_seek_on_long_stream(long_mpg):
         assert m.decode_video() is not None
 
 
+def test_long_stream_native_pipeline_and_clip(long_mpg):
+    """The fully-native PS pipeline and the clip extractor on a
+    minutes-class stream: batch frame count matches the MPEG-class
+    decode rate, and a deep clip decodes from the right neighborhood."""
+    import numpy as np
+    from mpeg_tpu import native
+    from mpeg_tpu.parallel import BatchVideoDecoder
+
+    if not native.available():
+        pytest.skip("native parser unavailable")
+    data = open(long_mpg, "rb").read()
+
+    dec = BatchVideoDecoder(data, window=64)
+    assert isinstance(dec.native, native.NativePipeline)
+    total = sum(len(w) for w in iter(dec.decode_window, []))
+    assert total >= (TARGET_SECONDS - 1.0) * 30
+
+    clip = BatchVideoDecoder.at_time(data, 45.0, window=32)
+    assert clip is not None
+    cdec, pts = clip
+    frames = cdec.decode_all()
+    # intra within one GOP below the target; decodes to stream end
+    assert 41.5 <= pts <= 46.5
+    assert len(frames) >= (TARGET_SECONDS - 47.0) * 30
+    assert np.asarray(frames[0])[:cdec.geom.frame_size].any()
+
+
 def test_soak_bounded_memory_and_av_drift(long_mpg):
     """Clock-driven decode of the whole minute-long stream: stream
     buffers stay bounded (compaction works) and A/V clocks never drift
