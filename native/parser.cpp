@@ -188,12 +188,32 @@ struct BitReader {
 // <= 8 bits (every 16-bit completion of such a prefix shares the symbol
 // by construction of the direct table); 0 = fall back to the full table.
 static uint32_t DCT_FAST8[256];
-static const bool DCT_FAST8_INIT = [] {
+
+// Combined run/level/sign table for the AC loop: for codes of <= 7 bits
+// (excluding the escape 0xFFFF and the EOB-ambiguous 0x0001, whose extra
+// bit depends on coefficient count), the SIGN bit lives inside the same
+// 8-bit window, so one load yields the fully-decoded coefficient:
+// entry = bits(8) | run << 8 | signed_level << 16; 0 = fall back.
+static uint32_t DCT_FAST9[256];
+
+static const bool DCT_FAST_INIT = [] {
     for (int i = 0; i < 256; i++) {
         int idx = i << 8;
         uint8_t len = DCT_COEFF_LEN[idx];
         DCT_FAST8[i] = (len > 0 && len <= 8)
             ? (((uint32_t)DCT_COEFF_VAL[idx] << 8) | len) : 0;
+        DCT_FAST9[i] = 0;
+        if (len > 0 && len + 1 <= 8) {
+            uint16_t v = DCT_COEFF_VAL[idx];
+            if (v != 0xFFFF && v != 0x0001) {
+                int sign = (i >> (7 - len)) & 1;
+                int16_t slevel = (int16_t)(v & 0xFF);
+                if (sign) slevel = -slevel;
+                DCT_FAST9[i] = (uint32_t)(len + 1) |
+                               ((uint32_t)(v >> 8) << 8) |
+                               ((uint32_t)(uint16_t)slevel << 16);
+            }
+        }
     }
     return true;
 }();
@@ -562,21 +582,35 @@ struct VideoParser {
         }
 
         for (;;) {
-            int coeff = (int)(uint16_t)br.read_vlc_dct(
-                DCT_COEFF_VAL, DCT_COEFF_LEN, DCT_FAST8);
-            if (coeff == 0x0001 && n > 0 && br.read1() == 0) break;   // EOB
-
             int run, level;
-            if (coeff == 0xFFFF) {
-                run = br.read(6);
-                level = br.read(8);
-                if (level == 0) level = br.read(8);
-                else if (level == 128) level = br.read(8) - 256;
-                else if (level > 128) level -= 256;
+            // Fast lane: codes of <= 7 bits with the sign bit in the
+            // same byte decode in one table hit (the bulk of real ACs).
+            int64_t byte_pos = br.bit >> 3;
+            uint32_t f9 = 0;
+            if (byte_pos + 8 <= br.size) {
+                uint64_t w = br.window64(byte_pos);
+                f9 = DCT_FAST9[(w >> (56 - (br.bit & 7))) & 0xFF];
+            }
+            if (f9) {
+                br.bit += f9 & 0xFF;
+                run = (int)((f9 >> 8) & 0xFF);
+                level = (int16_t)(f9 >> 16);
             } else {
-                run = coeff >> 8;
-                level = coeff & 0xFF;
-                if (br.read1()) level = -level;
+                int coeff = (int)(uint16_t)br.read_vlc_dct(
+                    DCT_COEFF_VAL, DCT_COEFF_LEN, DCT_FAST8);
+                if (coeff == 0x0001 && n > 0 && br.read1() == 0)
+                    break;   // EOB
+                if (coeff == 0xFFFF) {
+                    run = br.read(6);
+                    level = br.read(8);
+                    if (level == 0) level = br.read(8);
+                    else if (level == 128) level = br.read(8) - 256;
+                    else if (level > 128) level -= 256;
+                } else {
+                    run = coeff >> 8;
+                    level = coeff & 0xFF;
+                    if (br.read1()) level = -level;
+                }
             }
 
             n += run;
