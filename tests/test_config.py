@@ -57,3 +57,14 @@ def test_batch_decoder_config(mpeg1video_path):
     assert dec.transport == "dense"
     got = dec.decode_window()
     assert got and np.asarray(got[0]).size == dec.geom.total_size
+
+
+def test_device_trace_smoke(tmp_path):
+    """utils.profiling.device_trace captures a jax.profiler trace."""
+    import jax.numpy as jnp
+    from mpeg_tpu.utils.profiling import device_trace
+
+    with device_trace(str(tmp_path)):
+        jnp.arange(8).sum().block_until_ready()
+    produced = list(tmp_path.rglob("*"))
+    assert produced, "no trace artifacts written"
