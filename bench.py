@@ -311,6 +311,51 @@ def main():
         f"median {fps:.1f} fps (min {e2e[0]:.1f}, max {e2e[-1]:.1f}) "
         f"({STREAMS} streams x window {WINDOW}, single host core)")
 
+    # Sustained mode (BENCH_SUSTAIN=<seconds>): run the same pipeline
+    # continuously for minutes — catches drift/stalls the short passes
+    # can't (thermals, tunnel weather, allocator behavior).
+    sustain = float(os.environ.get("BENCH_SUSTAIN", "0"))
+    if sustain > 0:
+        parse_q = queue.Queue(maxsize=2)
+        dev_q = queue.Queue(maxsize=2)
+        stop = []
+
+        def parser_thread():
+            while not stop:
+                parse_q.put(fill(streams))
+
+        def transfer_thread():
+            while not stop:
+                dev_q.put(jax.device_put(parse_q.get()))
+
+        for t in (threading.Thread(target=parser_thread, daemon=True),
+                  threading.Thread(target=transfer_thread, daemon=True)):
+            t.start()
+        carry = fresh_carry()
+        done_frames = 0
+        lap_frames = 0
+        lap_t = t0 = time.time()
+        worst = 1e9
+        best = 0.0
+        while time.time() - t0 < sustain:
+            carry, disps = vscan(carry, dev_q.get())
+            done_frames += STREAMS * WINDOW
+            lap_frames += STREAMS * WINDOW
+            if lap_frames >= 960:   # ~2-3 s laps
+                jax.block_until_ready(disps)
+                now = time.time()
+                lap = lap_frames / (now - lap_t)
+                worst = min(worst, lap)
+                best = max(best, lap)
+                lap_frames = 0
+                lap_t = now
+        jax.block_until_ready(disps)
+        dt = time.time() - t0
+        stop.append(True)
+        log(f"SUSTAINED {dt:.0f}s: {done_frames} frames -> "
+            f"{done_frames / dt:.1f} fps (lap min {worst:.1f}, "
+            f"max {best:.1f})")
+
     # transfer+device only (parse excluded)
     pre = fill(streams)
     carry = fresh_carry()
