@@ -19,10 +19,13 @@ class BatchAudioDecoder:
     """Throughput-oriented MP2 decoder: bytes in, PCM windows out."""
 
     def __init__(self, data: bytes, window: int = 32,
-                 use_native: bool = None, streaming: bool = False):
+                 use_native: bool = None, streaming: bool = False,
+                 stats=None):
         """streaming: bytes arrive incrementally via feed(); call
         signal_end() at source exhaustion (decode_window returns the
-        frames buffered so far in the meantime)."""
+        frames buffered so far in the meantime).
+        stats: an optional utils.profiling.DecodeStats populated per
+        window (parse/synthesis timing, h2d bytes, samples)."""
         window = max(4, window - window % 4)   # parallel path needs 4n frames
         from .. import native as native_mod
         if use_native is None:
@@ -56,6 +59,7 @@ class BatchAudioDecoder:
         self._v_pos = None
         self._ended = not streaming
         self._pending: list = []
+        self.stats = stats
 
     def _make_native(self, data: bytes):
         if self._streaming:
@@ -155,13 +159,20 @@ class BatchAudioDecoder:
             self._synth = filterbank.make_synthesize_parallel_jax()
             self._v = jnp.zeros((15, 2, 64), jnp.float32)   # block history
 
+        import time
         n = len(frames)
         samples = np.zeros((self.window, 36, 2, 32), np.int32)
         samples[:n] = frames
+        t0 = time.perf_counter()
         u, self._v = self._synth(
             jnp.asarray(samples.reshape(-1, 2, 32)), self._v)
         u = np.asarray(u).reshape(self.window, 36, 2, 32)[:n]
-        return filterbank.finalize_np(u).reshape(-1)
+        pcm = filterbank.finalize_np(u).reshape(-1)
+        if self.stats is not None:
+            self.stats.samples += pcm.size // 2
+            self.stats.transfer_bytes += samples.nbytes
+            self.stats.device_seconds += time.perf_counter() - t0
+        return pcm
 
     def decode_all(self) -> np.ndarray:
         """Decode the whole stream to interleaved float32 PCM."""

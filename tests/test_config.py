@@ -68,3 +68,15 @@ def test_device_trace_smoke(tmp_path):
         jnp.arange(8).sum().block_until_ready()
     produced = list(tmp_path.rglob("*"))
     assert produced, "no trace artifacts written"
+
+
+def test_batch_audio_decoder_stats(mp2_path):
+    from mpeg_tpu.parallel import BatchAudioDecoder
+    from mpeg_tpu.utils.profiling import DecodeStats
+
+    stats = DecodeStats()
+    dec = BatchAudioDecoder(open(mp2_path, "rb").read(), window=64,
+                            stats=stats)
+    pcm = dec.decode_all()
+    assert stats.samples == pcm.size // 2 == 355 * 1152
+    assert stats.transfer_bytes > 0 and stats.device_seconds > 0
