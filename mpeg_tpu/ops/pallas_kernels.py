@@ -119,8 +119,11 @@ def idct_batch_pallas(coeffs, nblocks, interpret: bool = False):
 # Fused plane reconstruction: MC + residual + clamp in one VMEM pass
 # --------------------------------------------------------------------------
 
-_TILE_ROWS = 40    # aligned source tile: 5 sublane tiles of 8
-_TILE_COLS = 256   # 2 lane tiles of 128
+# Aligned source tile: rows needed = 8-aligned base slack (7) + 16 pixel
+# rows + 1 half-pel tap = 24 (3 sublane tiles of 8); when the base clips
+# to rows2p - 24, y_min > rows2p - 24 >= base so coverage still holds.
+_TILE_ROWS = 24
+_TILE_COLS = 256   # 128-aligned base slack (127) + 16 px + 1 tap <= 144
 
 
 def _make_plane_kernel(bw: int, mb_width: int, rows2: int, rows2p: int):
@@ -221,15 +224,31 @@ def _make_plane_kernel(bw: int, mb_width: int, rows2: int, rows2p: int):
     return kernel
 
 
-def _plane_pallas(src_ext, cur_plane, res_plane, coded_px, intra_px,
-                  sel, hp, vp, oh, ov, sel_bwd, base, stride, bw,
-                  geom: FrameGeometry, src_len: int, interpret: bool):
-    """Run the fused kernel over one plane; mirrors _mc_plane's flat
-    addressing (ys/xs derivation incl. junk-stream row wrap).  src_ext
-    is padded so the kernel's aligned (40, 256) tile loads are always in
-    bounds: rows to a multiple of 8 (>= 40), columns so the largest
-    128-aligned lane base + 256 fits."""
+def _mb_window_starts(sel_bwd, hp, vp, base, stride, bw,
+                      geom: FrameGeometry, src_len: int):
+    """Per-MB window starts (ys0, xs) as [mbh, mbw] int32: same
+    flat-address arithmetic as _mc_plane, evaluated once per MB (pixel
+    row 0) — row r adds exactly r*stride, so ys increments by one per
+    row and xs is row-invariant."""
     mbh, mbw = geom.mb_height, geom.mb_width
+    row0 = jnp.arange(mbh, dtype=jnp.int32)[:, None] * bw
+    col0 = jnp.arange(mbw, dtype=jnp.int32)[None, :] * bw
+    g = lambda a: a.reshape(mbh, mbw)
+    off = jnp.where(sel_bwd, src_len // 2, 0).astype(jnp.int32)
+    flat0 = (base + (row0 + g(vp)) * stride + col0 + g(hp) + g(off))
+    return flat0 // stride, flat0 % stride
+
+
+def _plane_pallas(src_ext, cur_plane, res_plane, coded_px, intra_px,
+                  ys0, xs, oh, ov, sel, mb_rows, bw, mbw,
+                  stride, src_len: int, interpret: bool):
+    """Run the fused kernel over a plane stack of `mb_rows` MB rows
+    (Cb and Cr concatenate into one call — identical strides, different
+    bases folded into ys0/xs).  Inputs ys0/xs/oh/ov/sel are [mb_rows,
+    mbw]; planes are [mb_rows*bw, mbw*bw].  src_ext is padded so the
+    kernel's aligned tile loads are always in bounds: rows to a multiple
+    of 8 (>= _TILE_ROWS), columns so the largest 128-aligned lane base +
+    _TILE_COLS fits."""
     rows2 = src_len // stride
     rows2p = max(-(-rows2 // 8) * 8, _TILE_ROWS)
     cols_need = ((stride - 1) >> 7 << 7) + _TILE_COLS
@@ -244,22 +263,10 @@ def _plane_pallas(src_ext, cur_plane, res_plane, coded_px, intra_px,
     group = 128 // bw
     mbwp = -(-mbw // group) * group
 
-    # Per-MB window starts: same flat-address arithmetic as _mc_plane,
-    # evaluated once per MB (pixel row 0) — row r adds exactly r*stride,
-    # so ys increments by one per row and xs is row-invariant.
-    row0 = jnp.arange(mbh, dtype=jnp.int32)[:, None] * bw
-    col0 = jnp.arange(mbw, dtype=jnp.int32)[None, :] * bw
-    g = lambda a: a.reshape(mbh, mbw)
-    off = jnp.where(sel_bwd, src_len // 2, 0).astype(jnp.int32)
-    flat0 = (base + (row0 + g(vp)) * stride + col0 + g(hp) + g(off))
-
-    def padmb(a2d):   # (mbh, mbw) -> flat [mbh*mbwp]
+    def padmb(a2d):   # (mb_rows, mbw) -> flat [mb_rows*mbwp]
         return jnp.pad(a2d, ((0, 0), (0, mbwp - mbw))).reshape(-1)
 
-    ys0 = padmb(flat0 // stride)
-    xs = padmb(flat0 % stride)
-
-    h = mbh * bw
+    h = mb_rows * bw
     w = mbw * bw
     wp = mbwp * bw
 
@@ -272,7 +279,7 @@ def _plane_pallas(src_ext, cur_plane, res_plane, coded_px, intra_px,
                                      memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # ys0, xs, oh, ov, sel — flat [mb] SMEM
-        grid=(mbh,),
+        grid=(mb_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # src_ext whole
                   row_block(), row_block(), row_block(), row_block()],
         out_specs=row_block(),
@@ -282,7 +289,7 @@ def _plane_pallas(src_ext, cur_plane, res_plane, coded_px, intra_px,
         out_shape=jax.ShapeDtypeStruct((h, wp), jnp.uint8),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ys0, xs, padmb(g(oh)), padmb(g(ov)), padmb(g(sel)),
+    )(padmb(ys0), padmb(xs), padmb(oh), padmb(ov), padmb(sel),
       src_ext, padpx(cur_plane), padpx(res_plane), padpx(coded_px),
       padpx(intra_px))
     return out[:, :w]
@@ -338,23 +345,39 @@ def reconstruct_picture_pallas(cur_flat, fwd_flat, bwd_flat,
     cur_cr = cur_flat[cr0:cr0 + geom.chroma_size].reshape(
         geom.chroma_height, geom.chroma_width)
 
+    mbh, mbw = geom.mb_height, geom.mb_width
+    g = lambda a: a.reshape(mbh, mbw)
+
+    ys_y, xs_y = _mb_window_starts(sel_bwd, hp, vp, 0, geom.luma_width,
+                                   16, geom, src_len)
     out_y = _plane_pallas(
         ext(geom.luma_width), cur_y,
         _luma_blocks_to_plane(vals[:, :4], geom, jnp),
         per_block_luma(coded[:, :4]), per_block_luma(intra_blk[:, :4]),
-        src_sel, hp, vp, oh, ov, sel_bwd,
-        0, geom.luma_width, 16, geom, src_len, interpret)
-    ext_c = ext(geom.chroma_width)
-    out_cb = _plane_pallas(
-        ext_c, cur_cb, _chroma_blocks_to_plane(vals[:, 4], geom, jnp),
-        per_block_chroma(coded[:, 4]), per_block_chroma(intra_blk[:, 4]),
-        src_sel, chp, cvp, coh, cov, sel_bwd,
-        cb0, geom.chroma_width, 8, geom, src_len, interpret)
-    out_cr = _plane_pallas(
-        ext_c, cur_cr, _chroma_blocks_to_plane(vals[:, 5], geom, jnp),
-        per_block_chroma(coded[:, 5]), per_block_chroma(intra_blk[:, 5]),
-        src_sel, chp, cvp, coh, cov, sel_bwd,
-        cr0, geom.chroma_width, 8, geom, src_len, interpret)
+        ys_y, xs_y, g(oh), g(ov), g(src_sel),
+        mbh, 16, mbw, geom.luma_width, src_len, interpret)
+
+    # Cb and Cr fuse into ONE kernel invocation: identical strides and
+    # motion terms, bases folded into the per-MB window starts, planes
+    # stacked along rows.
+    ys_cb, xs_cb = _mb_window_starts(sel_bwd, chp, cvp, cb0,
+                                     geom.chroma_width, 8, geom, src_len)
+    ys_cr, xs_cr = _mb_window_starts(sel_bwd, chp, cvp, cr0,
+                                     geom.chroma_width, 8, geom, src_len)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+    out_c = _plane_pallas(
+        ext(geom.chroma_width), cat(cur_cb, cur_cr),
+        cat(_chroma_blocks_to_plane(vals[:, 4], geom, jnp),
+            _chroma_blocks_to_plane(vals[:, 5], geom, jnp)),
+        cat(per_block_chroma(coded[:, 4]), per_block_chroma(coded[:, 5])),
+        cat(per_block_chroma(intra_blk[:, 4]),
+            per_block_chroma(intra_blk[:, 5])),
+        cat(ys_cb, ys_cr), cat(xs_cb, xs_cr),
+        cat(g(coh), g(coh)), cat(g(cov), g(cov)),
+        cat(g(src_sel), g(src_sel)),
+        2 * mbh, 8, mbw, geom.chroma_width, src_len, interpret)
+    out_cb = out_c[:geom.chroma_height]
+    out_cr = out_c[geom.chroma_height:]
 
     pad = cur_flat[geom.frame_size:]
     return jnp.concatenate([
