@@ -311,10 +311,13 @@ def main():
         f"median {fps:.1f} fps (min {e2e[0]:.1f}, max {e2e[-1]:.1f}) "
         f"({STREAMS} streams x window {WINDOW}, single host core)")
 
-    # Sustained mode (BENCH_SUSTAIN=<seconds>): run the same pipeline
-    # continuously for minutes — catches drift/stalls the short passes
-    # can't (thermals, tunnel weather, allocator behavior).
-    sustain = float(os.environ.get("BENCH_SUSTAIN", "0"))
+    # Sustained mode: run the same pipeline continuously — catches
+    # drift/stalls the short passes can't (thermals, tunnel weather,
+    # allocator behavior).  A short sustained segment always runs so the
+    # steady-state figure is driver-visible next to the burst median;
+    # BENCH_SUSTAIN=<seconds> overrides the duration (0 disables).
+    sustain = float(os.environ.get("BENCH_SUSTAIN", "20"))
+    sustained_fps = None
     if sustain > 0:
         parse_q = queue.Queue(maxsize=2)
         dev_q = queue.Queue(maxsize=2)
@@ -328,8 +331,9 @@ def main():
             while not stop:
                 dev_q.put(jax.device_put(parse_q.get()))
 
-        for t in (threading.Thread(target=parser_thread, daemon=True),
-                  threading.Thread(target=transfer_thread, daemon=True)):
+        workers = [threading.Thread(target=parser_thread, daemon=True),
+                   threading.Thread(target=transfer_thread, daemon=True)]
+        for t in workers:
             t.start()
         carry = fresh_carry()
         done_frames = 0
@@ -352,8 +356,21 @@ def main():
         jax.block_until_ready(disps)
         dt = time.time() - t0
         stop.append(True)
+        # Drain so blocked put()s observe stop and the workers exit before
+        # the later stages reuse the same parser streams.
+        while any(t.is_alive() for t in workers):
+            try:
+                parse_q.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                dev_q.get_nowait()
+            except queue.Empty:
+                pass
+            time.sleep(0.01)
+        sustained_fps = done_frames / dt
         log(f"SUSTAINED {dt:.0f}s: {done_frames} frames -> "
-            f"{done_frames / dt:.1f} fps (lap min {worst:.1f}, "
+            f"{sustained_fps:.1f} fps (lap min {worst:.1f}, "
             f"max {best:.1f})")
 
     # transfer+device only (parse excluded)
@@ -447,6 +464,7 @@ def main():
         "value": round(fps, 1),
         "unit": "fps",
         "vs_baseline": round(fps / base_fps, 2) if base_fps else 0.0,
+        "sustained_fps": round(sustained_fps, 1) if sustained_fps else None,
     }), flush=True)
 
     # Secondary metrics ----------------------------------------------------

@@ -96,6 +96,13 @@ class BatchAudioDecoder:
             (self._pipeline or self.native).signal_end()
 
     @property
+    def needs_input(self) -> bool:
+        """Streaming mode: True while feed() can still unblock decode —
+        disambiguates decode_window() returning None ('need more bytes'
+        vs end of stream after signal_end)."""
+        return self._streaming and not self._ended
+
+    @property
     def samplerate(self) -> int:
         if self._pipeline is not None:
             return self._pipeline.samplerate
@@ -141,12 +148,17 @@ class BatchAudioDecoder:
         carry advances in whole windows, so partial windows only flush
         after signal_end)."""
         import jax.numpy as jnp
+        import time
 
+        t_parse = time.perf_counter()
         while len(self._pending) < self.window:
             f = self._parse_frame()
             if f is None:
                 break
             self._pending.append(f)
+        t_parse = time.perf_counter() - t_parse
+        if self.stats is not None:
+            self.stats.host_seconds += t_parse
         if not self._pending:
             return None
         if len(self._pending) < self.window and not self._ended:
@@ -159,7 +171,6 @@ class BatchAudioDecoder:
             self._synth = filterbank.make_synthesize_parallel_jax()
             self._v = jnp.zeros((15, 2, 64), jnp.float32)   # block history
 
-        import time
         n = len(frames)
         samples = np.zeros((self.window, 36, 2, 32), np.int32)
         samples[:n] = frames

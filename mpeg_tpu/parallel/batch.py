@@ -623,6 +623,13 @@ class BatchVideoDecoder:
             self.native.signal_end()
 
     @property
+    def needs_input(self) -> bool:
+        """Streaming mode: True while feed() can still unblock decode —
+        disambiguates decode_window() returning [] ('need more bytes')
+        from end of stream after signal_end."""
+        return self._streaming and not self._ended
+
+    @property
     def geom(self) -> FrameGeometry:
         return self.native.geom() if self.native is not None \
             else self.video.geom

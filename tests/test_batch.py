@@ -234,14 +234,27 @@ def test_batch_scan_rgba(mpeg1video_path):
     disps = np.asarray(disps)
     assert disps.shape == (8, geom.height, geom.width, 4)
 
-    # Reference: sequential decoder + host RGBA conversion, same pictures.
+    # Map scan steps to sequential display order: step i displays iff the
+    # picture is a B frame or a reference frame is already pending (the
+    # 1-frame reference delay, video.go:247-256).
+    from mpeg_tpu.tables import PICTURE_TYPE_B
+    display_steps = []
+    has_ref = False
+    for i, (_, t) in enumerate(plans):
+        if t == PICTURE_TYPE_B or has_ref:
+            display_steps.append(i)
+        else:
+            has_ref = True
+
+    # Reference: sequential decoder + host RGBA conversion, same pictures;
+    # frame-indexed equality against the matching scan step.
     buf2 = mpeg.Buffer(open(mpeg1video_path, "rb"))
     buf2.set_load_callback(buf2.load_reader_callback)
     v2 = mpeg.Video(buf2, backend="numpy", parser="python")
-    # First displayed frame corresponds to scan step 1 (B picture) etc.;
-    # compare the first decoded display against the matching disp entry.
-    f = v2.decode()
-    # find matching disp by exact equality against any step
-    want = f.rgba()
-    matches = [i for i in range(8) if np.array_equal(disps[i], want)]
-    assert matches, "no scan RGBA output matches the sequential frame"
+    assert display_steps, "fixture prefix produced no displayed frames"
+    for k, step in enumerate(display_steps):
+        f = v2.decode()
+        assert f is not None
+        np.testing.assert_array_equal(
+            disps[step], f.rgba(),
+            err_msg=f"display {k} (scan step {step}) diverged")
