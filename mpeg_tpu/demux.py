@@ -96,6 +96,10 @@ class Demux:
         self.num_audio_streams = 0
         self.num_video_streams = 0
 
+        # Byte offset of the start code of the packet the last successful
+        # seek() returned (consumed by the native re-feed seek protocol).
+        self.last_seek_offset = -1
+
         self.current_packet = Packet()
         self.next_packet = Packet()
 
@@ -180,6 +184,16 @@ class Demux:
         self.next_packet.length = 0
         self.start_code = -1
 
+    def reanchor(self, pos: int, pts: float) -> None:
+        """Re-anchor the seek estimator to a known (byte offset, stream
+        PTS) pair.  Used by the native pipeline's MPEG class: there the
+        Python demuxer is a control plane that doesn't consume packets,
+        so before a seek its position/last-PTS must be synced to the live
+        decode position (the reference demuxer is always there because it
+        IS the packet source, demux.go:216-254)."""
+        self._buffer_seek(max(0, min(pos, self.buf.size())))
+        self.last_decoded_pts = pts
+
     def has_ended(self) -> bool:
         return self.buf.has_ended()
 
@@ -229,10 +243,15 @@ class Demux:
                     continue
 
                 # Bail if outside [seek_time - scan_span, seek_time]; refine
-                # the rate estimate for the next jump.
+                # the rate estimate for the next jump.  Guard the refit:
+                # a zero/negative/non-finite rate (possible when the jump
+                # landed at/behind the current position) makes every later
+                # offset degenerate, so fall back to the global estimate.
                 if packet.pts > seek_time or packet.pts < seek_time - scan_span:
                     found_packet_with_pts = True
-                    byte_rate = _fdiv(seek_pos - cur_pos, packet.pts - cur_time)
+                    refit = _fdiv(seek_pos - cur_pos, packet.pts - cur_time)
+                    byte_rate = refit if (math.isfinite(refit) and refit > 0) \
+                        else _fdiv(file_size, span)
                     cur_time = packet.pts
                     break
 
@@ -247,6 +266,9 @@ class Demux:
                     last_valid_packet_start = packet_start
 
             if last_valid_packet_start != -1:
+                # The recorded position is right AFTER the 4-byte start
+                # code; the packet itself begins 4 bytes earlier.
+                self.last_seek_offset = last_valid_packet_start - 4
                 self._buffer_seek(last_valid_packet_start)
                 return self._decode_packet(typ)
             if found_packet_in_range:

@@ -36,7 +36,15 @@ AudioCallback = Callable[["MPEG", Samples], None]
 
 
 class MPEG:
-    """High-level interface over an MPEG-PS source."""
+    """High-level interface over an MPEG-PS source.
+
+    With the native parser (the default when the C++ library builds) and
+    a seekable source, the steady-state hot path is the fully-native
+    pipeline: demux + both ES parsers in one C++ object, zero per-packet
+    Python work (the reference analog is the load-callback re-entry at
+    mpeg.go:634-669, which likewise never leaves Go).  The Python demuxer
+    stays as the control plane: probing, start-time/duration estimation
+    and the byte-rate seek search."""
 
     def __init__(self, reader, backend: str = None, config=None):
         if isinstance(reader, (bytes, bytearray)):
@@ -59,6 +67,23 @@ class MPEG:
             self.demux = Demux(buf)
         except InvalidHeaderError as e:
             raise InvalidMpegError(str(e)) from e
+
+        # Engine selection: the native pipeline needs a seekable source
+        # (the control-plane demuxer shares the reader); push-style /
+        # non-seekable sources keep the Python packet routing.
+        self._pipeline = None
+        self._feeder = None
+        parser = self.config.parser
+        if parser == "auto":
+            from . import native as native_mod
+            parser = "native" if native_mod.available() else "python"
+        if parser == "native" and buf.seekable():
+            from . import native as native_mod
+            if native_mod.available():
+                from .pipeline import ReaderFeeder
+                self._pipeline = native_mod.NativePipeline()
+                self._feeder = ReaderFeeder(reader,
+                                            self.config.buffer_size)
 
         self.time = 0.0
         self.loop = False
@@ -123,6 +148,8 @@ class MPEG:
 
     def set_video_enabled(self, enabled: bool) -> None:
         self.video_enabled = enabled
+        if self._pipeline is not None:
+            self._pipeline.set_video_enabled(enabled)
         if not enabled:
             self.video_packet_type = 0
             return
@@ -133,6 +160,8 @@ class MPEG:
 
     def set_audio_enabled(self, enabled: bool) -> None:
         self.audio_enabled = enabled
+        if self._pipeline is not None:
+            self._pipeline.set_audio_enabled(enabled)
         if not enabled:
             self.audio_packet_type = 0
             return
@@ -146,6 +175,8 @@ class MPEG:
         if not 0 <= stream_index <= 3:
             return
         self.audio_stream_index = stream_index
+        if self._pipeline is not None:
+            self._pipeline.set_audio_stream(stream_index)
         self.set_audio_enabled(self.audio_enabled)
 
     def audio_format(self) -> int:
@@ -204,13 +235,37 @@ class MPEG:
     def has_ended(self) -> bool:
         return self._has_ended
 
+    def buffer_occupancy(self) -> int:
+        """Bytes currently buffered across the demux window and both
+        stream buffers (bounded-memory observability; SURVEY §5
+        long-context row)."""
+        occ = len(self.demux.buf.bytes())
+        if self._pipeline is not None:
+            occ += self._pipeline.occupancy()
+        else:
+            if self.video_buffer is not None:
+                occ += len(self.video_buffer.bytes())
+            if self.audio_buffer is not None:
+                occ += len(self.audio_buffer.bytes())
+        return occ
+
     # -- decode --------------------------------------------------------------
+
+    def _source_has_ended(self) -> bool:
+        """End of the packet source: the feeder in pipeline mode (the
+        Python demuxer never consumes there), the demuxer otherwise."""
+        if self._pipeline is not None:
+            return self._feeder.ended
+        return self.demux.has_ended()
 
     def rewind(self) -> None:
         if self.video_decoder is not None:
             self.video_decoder.rewind()
         if self.audio_decoder is not None:
             self.audio_decoder.rewind()
+        if self._pipeline is not None:
+            self._pipeline.reset()
+            self._feeder.reset(0)
         self.demux.rewind()
         self.time = 0.0
         self._has_ended = False
@@ -259,7 +314,7 @@ class MPEG:
 
         if (not decode_video or decode_video_failed) and \
                 (not decode_audio or decode_audio_failed) and \
-                self.demux.has_ended():
+                self._source_has_ended():
             self._handle_end()
             return
 
@@ -274,7 +329,7 @@ class MPEG:
         frame = self.video_decoder.decode()
         if frame is not None:
             self.time = frame.time
-        elif self.demux.has_ended():
+        elif self._source_has_ended():
             self._handle_end()
         return frame
 
@@ -287,7 +342,7 @@ class MPEG:
         samples = self.audio_decoder.decode()
         if samples is not None:
             self.time = samples.time
-        elif self.demux.has_ended():
+        elif self._source_has_ended():
             self._handle_end()
         return samples
 
@@ -306,6 +361,13 @@ class MPEG:
         duration = self.demux.get_duration(typ)
         tm = max(0.0, min(tm, duration))
 
+        if self._pipeline is not None:
+            # Control-plane demuxer: sync to the live decode position
+            # (feed offset minus the un-demuxed backlog) so the byte-rate
+            # estimator starts from a truthful (position, PTS) anchor.
+            live = self._feeder.pos - self._pipeline.demux_backlog()
+            self.demux.reanchor(live, start_time + self.time)
+
         packet = self.demux.seek(tm, typ, force_intra=True)
         if packet is None:
             return None
@@ -314,15 +376,31 @@ class MPEG:
         prev_audio_packet_type = self.audio_packet_type
         self.audio_packet_type = 0
 
-        self.video_decoder.rewind()
-        self.video_decoder.set_time(packet.pts - start_time)
-        self.video_buffer.write(packet.data)
-        frame = self.video_decoder.decode()
+        if self._pipeline is not None:
+            # Native seek protocol: reset the pipeline (keeps demux
+            # header + sequence/header state) and re-feed from the intra
+            # packet's byte offset; audio packets are dropped natively
+            # while the video side decodes (mpeg.go:485-487 analog).
+            self._pipeline.reset()
+            self._pipeline.audio_set_drop(self._pipeline.DROP_ALL)
+            self._feeder.reset(self.demux.last_seek_offset)
+            self.video_decoder.rewind()
+            self.video_decoder.set_time(packet.pts - start_time)
+            frame = self.video_decoder.decode()
+            if seek_exact:
+                while frame is not None and frame.time < tm:
+                    frame = self.video_decoder.decode()
+            self._pipeline.audio_set_drop(self._pipeline.ROUTE_ALL)
+        else:
+            self.video_decoder.rewind()
+            self.video_decoder.set_time(packet.pts - start_time)
+            self.video_buffer.write(packet.data)
+            frame = self.video_decoder.decode()
 
-        # Exact seek: decode forward over P/B frames on top of the intra.
-        if seek_exact:
-            while frame is not None and frame.time < tm:
-                frame = self.video_decoder.decode()
+            # Exact seek: decode forward over P/B frames on the intra.
+            if seek_exact:
+                while frame is not None and frame.time < tm:
+                    frame = self.video_decoder.decode()
 
         self.audio_packet_type = prev_audio_packet_type
 
@@ -348,6 +426,19 @@ class MPEG:
         # time, then decode enough to satisfy the lead time.
         start_time = self.demux.get_start_time(self.video_packet_type)
         self.audio_decoder.rewind()
+
+        if self._pipeline is not None:
+            # Native resync: the C++ router drops audio packets until one
+            # with pts > start_time + time arrives; its PTS re-anchors the
+            # audio clock at the first decoded frame.
+            self._pipeline.audio_set_drop(start_time + self.time)
+            self.audio_decoder.begin_anchor(start_time)
+            prev_audio_packet_type = self.audio_packet_type
+            self.audio_packet_type = 0
+            self.decode(0)
+            self.audio_packet_type = prev_audio_packet_type
+            self.decode(0)
+            return True
 
         while True:
             packet = self.demux.decode()
@@ -381,22 +472,36 @@ class MPEG:
             if self.video_enabled:
                 self.video_packet_type = PACKET_VIDEO_1
             if self.video_decoder is None:
-                self.video_buffer = Buffer(None)
-                self.video_buffer.set_load_callback(self._read_video_packet)
-                self.video_decoder = Video(self.video_buffer,
-                                           backend=self.backend,
-                                           parser=self.config.parser)
+                if self._pipeline is not None:
+                    from .pipeline import PipelineVideo
+                    self.video_decoder = PipelineVideo(
+                        self._pipeline, self._feeder, backend=self.backend,
+                        config=self.config)
+                else:
+                    self.video_buffer = Buffer(None)
+                    self.video_buffer.set_load_callback(
+                        self._read_video_packet)
+                    self.video_decoder = Video(self.video_buffer,
+                                               backend=self.backend,
+                                               parser=self.config.parser)
 
         if self.demux.get_num_audio_streams() > 0:
             if self.audio_enabled:
                 self.audio_packet_type = \
                     PACKET_AUDIO_1 + self.audio_stream_index
             if self.audio_decoder is None:
-                self.audio_buffer = Buffer(None)
-                self.audio_buffer.set_load_callback(self._read_audio_packet)
-                self.audio_decoder = Audio(self.audio_buffer,
-                                           backend=self.backend,
-                                           parser=self.config.parser)
+                if self._pipeline is not None:
+                    from .pipeline import PipelineAudio
+                    self.audio_decoder = PipelineAudio(
+                        self._pipeline, self._feeder, backend=self.backend,
+                        config=self.config)
+                else:
+                    self.audio_buffer = Buffer(None)
+                    self.audio_buffer.set_load_callback(
+                        self._read_audio_packet)
+                    self.audio_decoder = Audio(self.audio_buffer,
+                                               backend=self.backend,
+                                               parser=self.config.parser)
                 if self.config.audio_format:
                     self.set_audio_format(self.config.audio_format)
 

@@ -126,6 +126,18 @@ def load() -> ctypes.CDLL:
     lib.pp_framerate.argtypes = [ctypes.c_void_p]
     lib.pp_framerate.restype = ctypes.c_double
     lib.pp_set_audio_stream.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pp_parse_picture.argtypes = [ctypes.c_void_p] + [p_i32] * 6
+    lib.pp_parse_picture.restype = ctypes.c_int
+    lib.pp_reset.argtypes = [ctypes.c_void_p]
+    lib.pp_set_video_enabled.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pp_set_audio_enabled.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pp_audio_set_drop.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.pp_audio_kept_pts.argtypes = [ctypes.c_void_p]
+    lib.pp_audio_kept_pts.restype = ctypes.c_double
+    lib.pp_occupancy.argtypes = [ctypes.c_void_p]
+    lib.pp_occupancy.restype = ctypes.c_int64
+    lib.pp_demux_backlog.argtypes = [ctypes.c_void_p]
+    lib.pp_demux_backlog.restype = ctypes.c_int64
     lib.pp_video_blob_counts.argtypes = [
         ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
@@ -470,7 +482,61 @@ class NativePipeline:
     _window_fn = "pp_blob_window"
     blob_window = NativeVideoParser.blob_window
 
+    def parse_next_plan(self):
+        """Dense single-picture pull (interactive MPEG class); returns
+        (plan, picture_type) or None — same contract as
+        NativeVideoParser.parse_next_plan, demuxing internally."""
+        if not self.has_header():
+            return None
+        from .video import _PicturePlan
+        mb = ((self.width + 15) >> 4) * ((self.height + 15) >> 4)
+        plan = _PicturePlan(mb)
+        ptype = self._lib.pp_parse_picture(
+            self._h, plan.coeffs.reshape(-1), plan.nblocks.reshape(-1),
+            plan.intra_blk.reshape(-1), plan.src_sel, plan.mv_h, plan.mv_v)
+        if ptype == 0:
+            return None
+        return plan, ptype
+
+    # -- seek / routing control (native seek protocol) ----------------------
+
+    def reset(self) -> None:
+        """Clear stream state for a mid-stream re-feed; demux header
+        info, video sequence state and audio header state are kept."""
+        self._lib.pp_reset(self._h)
+
+    def set_video_enabled(self, on: bool) -> None:
+        self._lib.pp_set_video_enabled(self._h, 1 if on else 0)
+
+    def set_audio_enabled(self, on: bool) -> None:
+        self._lib.pp_set_audio_enabled(self._h, 1 if on else 0)
+
+    DROP_ALL = -1.0
+    ROUTE_ALL = -2.0
+
+    def audio_set_drop(self, mode: float) -> None:
+        """-2 route all, -1 drop all, >=0 drop until a packet's pts
+        exceeds the threshold (that PTS is latched for audio_kept_pts)."""
+        self._lib.pp_audio_set_drop(self._h, mode)
+
+    def audio_kept_pts(self) -> float:
+        """PTS of the first audio packet routed after a >=0 drop
+        threshold, or -1 while still dropping."""
+        return self._lib.pp_audio_kept_pts(self._h)
+
+    def occupancy(self) -> int:
+        """Bytes buffered across demux window + both ES buffers."""
+        return int(self._lib.pp_occupancy(self._h))
+
+    def demux_backlog(self) -> int:
+        """Bytes fed but not yet demux-consumed (feed offset minus this
+        is the live absolute demux position)."""
+        return int(self._lib.pp_demux_backlog(self._h))
+
     # -- audio side ---------------------------------------------------------
+
+    def audio_has_header(self) -> bool:
+        return bool(self._lib.pp_audio_has_header(self._h))
 
     @property
     def samplerate(self) -> int:

@@ -1344,6 +1344,15 @@ struct Pipeline {
     AudioParser ap;
     int audio_type = 0xC0;   // PACKET_AUDIO_1 + stream index
     bool es_end_signaled = false;
+    bool video_on = true;    // MPEG.set_video_enabled routing gate
+    bool audio_on = true;    // MPEG.set_audio_enabled routing gate
+    // Audio PTS gate for the native seek protocol (mpeg.go:544-573):
+    //  -2 = off (route every selected-audio packet)
+    //  -1 = drop all (video-side seek decode in progress)
+    // >=0 = drop until a packet with pts > threshold; that packet's PTS
+    //       is latched in audio_kept and routing resumes.
+    double audio_drop_until = -2.0;
+    double audio_kept = -1.0;
 
     void feed(const uint8_t* data, int64_t n) {
         dmx.buf.insert(dmx.buf.end(), data, data + n);
@@ -1356,10 +1365,20 @@ struct Pipeline {
         const uint8_t* payload = dmx.buf.data() + dmx.pkt_off;
         int64_t n = dmx.pkt_len > 0 ? dmx.pkt_len : 0;
         if (typ == 0xE0) {
+            if (!video_on) return;
             vp.buf.insert(vp.buf.end(), payload, payload + n);
             vp.ended = false;
             vp.sync();
         } else if (typ == audio_type) {
+            if (!audio_on) return;
+            if (audio_drop_until == -1.0) return;
+            if (audio_drop_until >= 0.0) {
+                // PTS-less packets (-1) are dropped too, exactly like the
+                // reference's `packet.pts - startTime > time` test.
+                if (!(dmx.pkt_pts > audio_drop_until)) return;
+                audio_kept = dmx.pkt_pts;
+                audio_drop_until = -2.0;
+            }
             ap.buf.insert(ap.buf.end(), payload, payload + n);
             ap.ended = false;
             ap.sync();
@@ -1894,6 +1913,82 @@ int pp_audio_parse_frame(void* p, int32_t* out) {
             return ap_parse_frame(&pp->ap, out);
         }
     }
+}
+
+// Dense video pull (interactive MPEG class): parse the next picture into
+// caller-provided plan arrays, demuxing more PS packets on demand —
+// identical contract to vp_parse_picture.
+int pp_parse_picture(void* p, int32_t* coeffs, int32_t* nblocks,
+                     int32_t* intra_blk, int32_t* src_sel,
+                     int32_t* mv_h, int32_t* mv_v) {
+    auto* pp = (Pipeline*)p;
+    for (;;) {
+        int t = vp_parse_picture(&pp->vp, coeffs, nblocks, intra_blk,
+                                 src_sel, mv_h, mv_v);
+        if (t != 0) return t;
+        if (!pp->fill_for(0xE0)) {
+            if (!pp->vp.ended) return 0;
+            return vp_parse_picture(&pp->vp, coeffs, nblocks, intra_blk,
+                                    src_sel, mv_h, mv_v);
+        }
+    }
+}
+
+// Native seek protocol (reference contract demux.go:216-349 +
+// mpeg.go:460-512): the caller re-feeds the stream from the target
+// packet's byte offset after this reset.  Demux HEADER state (stream
+// counts, clock ref) and the video sequence/audio header state are kept
+// — exactly what Video.Rewind/Audio.Rewind preserve (video.go:195-201,
+// audio.go:149-154) — so a mid-stream re-feed decodes immediately.
+void pp_reset(void* p) {
+    auto* pp = (Pipeline*)p;
+    pp->dmx.buf.clear();
+    pp->dmx.br.bit = 0;
+    pp->dmx.sync();
+    pp->dmx.start_code = -1;
+    pp->dmx.cur_len = 0;
+    pp->dmx.nxt_len = 0;
+    pp->dmx.nxt_pts = -1.0;
+    pp->dmx.ended = false;
+    vp_rewind(&pp->vp);
+    ap_rewind(&pp->ap);
+    pp->es_end_signaled = false;
+    pp->audio_drop_until = -2.0;
+    pp->audio_kept = -1.0;
+}
+
+void pp_set_video_enabled(void* p, int on) {
+    ((Pipeline*)p)->video_on = on != 0;
+}
+
+void pp_set_audio_enabled(void* p, int on) {
+    ((Pipeline*)p)->audio_on = on != 0;
+}
+
+// mode: -2 route all, -1 drop all, >=0 drop until pts > mode.
+void pp_audio_set_drop(void* p, double mode) {
+    auto* pp = (Pipeline*)p;
+    pp->audio_drop_until = mode;
+    pp->audio_kept = -1.0;
+}
+
+double pp_audio_kept_pts(void* p) { return ((Pipeline*)p)->audio_kept; }
+
+// Total bytes currently buffered across the native pipeline (demux
+// window + both ES buffers) — the bounded-memory observability the
+// Python-side Buffer occupancy checks used to provide.
+int64_t pp_occupancy(void* p) {
+    auto* pp = (Pipeline*)p;
+    return (int64_t)pp->dmx.buf.size() + (int64_t)pp->vp.buf.size() +
+           (int64_t)pp->ap.buf.size();
+}
+
+// Bytes fed to the demuxer but not yet consumed by it.  The owner's
+// absolute demux position is feed_offset - backlog (needed to re-anchor
+// the control-plane seek estimator to the live decode position).
+int64_t pp_demux_backlog(void* p) {
+    auto* pp = (Pipeline*)p;
+    return (int64_t)pp->dmx.buf.size() - (pp->dmx.br.bit >> 3);
 }
 
 }   // extern "C"

@@ -142,3 +142,76 @@ def test_mpeg_jax_backend_smoke(mpg_path):
     assert f is not None and f.y.size == 20480
     s = m.decode_audio()
     assert s is not None and s.interleaved.size == 2304
+
+
+class _NoSeekReader:
+    """Non-seekable wrapper: forces the MPEG class off the native
+    pipeline onto the Python packet-routing engine."""
+
+    def __init__(self, f):
+        self._f = f
+
+    def read(self, n=-1):
+        return self._f.read(n)
+
+    def seekable(self):
+        return False
+
+
+def _full_decode_digest(m):
+    """Clock-driven full decode; returns (video hash, audio hash,
+    frame count, sample count) over everything the callbacks saw."""
+    from mpeg_tpu.utils import Fnv1a64
+    vh, ah = Fnv1a64(), Fnv1a64()
+    counts = [0, 0]
+
+    def on_video(_m, f):
+        vh.write(f.y.tobytes())
+        vh.write(f.cb.tobytes())
+        vh.write(f.cr.tobytes())
+        counts[0] += 1
+
+    def on_audio(_m, s):
+        ah.write(s.interleaved.astype("<f4").tobytes())
+        counts[1] += 1
+
+    m.set_video_callback(on_video)
+    m.set_audio_callback(on_audio)
+    steps = 0
+    while not m.done:
+        m.decode(1.0 / 30.0)
+        steps += 1
+        assert steps < 5000, "decode loop did not terminate"
+    return vh.sum64(), ah.sum64(), counts[0], counts[1]
+
+
+def test_native_pipeline_hot_path(mpg_path, monkeypatch):
+    """With the native pipeline, steady-state decode does ZERO Python
+    packet routing (reference analog: the in-Go load-callback re-entry,
+    mpeg.go:634-669), and the A/V output is bit-identical to the
+    Python-routing engine."""
+    from mpeg_tpu import native
+
+    if not native.available():
+        pytest.skip("native parser unavailable")
+
+    m = new_mpeg(mpg_path)
+    assert m._pipeline is not None, "expected the native pipeline engine"
+
+    def boom(*_a, **_k):
+        raise AssertionError("Python packet routing on the native hot path")
+
+    monkeypatch.setattr(m, "_read_packets", boom)
+    pipe_digest = _full_decode_digest(m)
+    # No Python-side push buffers exist at all in pipeline mode.
+    assert m.video_buffer is None and m.audio_buffer is None
+
+    # Seek stays functional with routing still booby-trapped (the seek
+    # protocol is native re-feed; only the byte-rate search is Python).
+    m.rewind()
+    assert m.seek(3.0, True)
+
+    routed = mpeg.MPEG(_NoSeekReader(open(mpg_path, "rb")),
+                       backend="numpy")
+    assert routed._pipeline is None
+    assert pipe_digest == _full_decode_digest(routed)

@@ -123,9 +123,9 @@ def test_soak_bounded_memory_and_av_drift(long_mpg):
         m.decode(tick)
         steps += 1
         if steps % 16 == 0:
-            occ = len(m.demux.buf.bytes()) + \
-                len(m.video_buffer.bytes()) + len(m.audio_buffer.bytes())
-            max_occupancy = max(max_occupancy, occ)
+            # Demux window + both stream buffers (native-pipeline bytes
+            # included when the MPEG class runs on the C++ pipeline).
+            max_occupancy = max(max_occupancy, m.buffer_occupancy())
             vt = m.video_decoder.time
             at = m.audio_decoder.time
             max_drift = max(max_drift, abs(vt - at))
