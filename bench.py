@@ -12,10 +12,13 @@ Prints ONE JSON line:
 
 Details (per-stage budget, audio Msamples/s) go to stderr.
 
-Pipeline shape (three overlapped stages, median of 3 measured passes):
-  parse thread:    native C++ parse -> window blob [S, bytes]   (1 core)
-  transfer thread: jax.device_put of the next round's blob
-  main thread:     dispatch the donated-carry vmapped scan
+Pipeline shape (two overlapped stages, median of 3 measured passes):
+  parse thread: native C++ parse -> window blob [S, bytes], into a
+                recycled blob ring (zeroing runs in C++ off the GIL)
+  main thread:  jax.device_put + dispatch the donated-carry vmapped scan
+                (h2d CPU work and dispatch are both small; folding them
+                into one thread minimizes GIL churn against the parse
+                core — on multi-core hosts scale with BENCH_PARSE_THREADS)
 """
 
 import json
@@ -36,7 +39,7 @@ BENCH_DIR = os.path.join(REPO, "bench_data")
 FIXTURE = os.path.join(BENCH_DIR, "test1080.m1v")
 
 WIDTH, HEIGHT, FRAMES = 1920, 1080, 32
-WINDOW = 8
+WINDOW = int(os.environ.get("BENCH_WINDOW", "16"))
 STREAMS = 4          # stream batch per dispatch round
 ROUNDS = 6           # rounds per measured pass
 PASSES = 3           # end-to-end repetitions (median reported)
@@ -101,6 +104,81 @@ def ensure_fixture() -> str:
     return FIXTURE
 
 
+LONGFORM = os.path.join(BENCH_DIR, "film1080.m1v")
+LONGFORM_FRAMES = 2880   # 2 minutes @ 24 fps
+
+
+def ensure_longform_fixture() -> str:
+    """Synthesize a 2-minute 1080p film-like MPEG-1 ES: scene cuts every
+    ~4 s, camera pans/zooms, textured detail and film grain — the
+    long-form config BASELINE.json names as "sintel.mpg".  (This host
+    has zero egress, so real film content cannot be fetched; this
+    fixture reproduces its load profile — GOP structure over scene
+    cuts, noisy residuals, realistic bitrate — and is labeled synthetic
+    wherever its numbers are reported.)"""
+    if os.path.exists(LONGFORM):
+        return LONGFORM
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    import cv2
+
+    avi = os.path.join(BENCH_DIR, "tmp_film.avi")
+    w = cv2.VideoWriter(avi, cv2.VideoWriter_fourcc(*"PIM1"), 24,
+                        (WIDTH, HEIGHT))
+    rng = np.random.default_rng(42)
+    scene = None
+    scene_len = 0
+    t0 = time.time()
+    for i in range(LONGFORM_FRAMES):
+        if scene_len == 0:
+            # New scene: textured background + a pan/zoom trajectory.
+            scene_len = int(rng.integers(60, 140))
+            base = rng.integers(0, 255, (HEIGHT // 32, WIDTH // 32, 3),
+                                np.uint8)
+            base = cv2.resize(base, (WIDTH * 2, HEIGHT * 2),
+                              interpolation=cv2.INTER_CUBIC)
+            detail = rng.integers(0, 40, (HEIGHT * 2, WIDTH * 2, 3),
+                                  np.uint8)
+            scene = cv2.add(base, detail)
+            px, py = rng.integers(0, WIDTH // 2), rng.integers(0, HEIGHT // 2)
+            vx, vy = rng.uniform(-3, 3), rng.uniform(-2, 2)
+            zoom0, zr = rng.uniform(1.0, 1.3), rng.uniform(-0.002, 0.002)
+            k = 0
+        z = max(0.5, zoom0 + zr * k)
+        x = int(np.clip(px + vx * k, 0, WIDTH * 2 - WIDTH / z - 1))
+        y = int(np.clip(py + vy * k, 0, HEIGHT * 2 - HEIGHT / z - 1))
+        view = scene[y:y + int(HEIGHT / z), x:x + int(WIDTH / z)]
+        frame = cv2.resize(view, (WIDTH, HEIGHT),
+                           interpolation=cv2.INTER_LINEAR)
+        grain = rng.integers(-6, 7, (HEIGHT, WIDTH, 1), np.int16)
+        frame = np.clip(frame.astype(np.int16) + grain, 0,
+                        255).astype(np.uint8)
+        w.write(frame)
+        scene_len -= 1
+        k += 1
+    w.release()
+
+    data = open(avi, "rb").read()
+    out = bytearray()
+
+    def walk(pos, end):
+        while pos + 8 <= end:
+            fid = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            if fid in (b"RIFF", b"LIST"):
+                walk(pos + 12, pos + 8 + size)
+            elif fid.endswith(b"dc"):
+                out.extend(data[pos + 8:pos + 8 + size])
+            pos += 8 + size + (size & 1)
+
+    walk(12, len(data))
+    open(LONGFORM, "wb").write(bytes(out))
+    os.remove(avi)
+    log(f"long-form fixture: {LONGFORM} ({len(out)} bytes, "
+        f"{LONGFORM_FRAMES} frames, synthesized in "
+        f"{time.time() - t0:.0f}s)")
+    return LONGFORM
+
+
 def baseline_fps(path: str) -> float:
     """libavcodec (cv2) single-decoder fps over the fixture — median of
     5 passes (the shared host's run-to-run variance is ~2x)."""
@@ -133,7 +211,9 @@ class Stream:
         self.p = native.NativeVideoParser(data)
 
     def reloop(self):
-        self.p = self.native.NativeVideoParser(self.data)
+        # reset() keeps the parser's plan/record buffers warm (a fresh
+        # parser re-zeroes ~25 MB of 1080p plan arrays per loop).
+        self.p.reset(self.data)
 
 
 def discover_buckets(data: bytes, window: int):
@@ -167,32 +247,65 @@ def discover_buckets(data: bytes, window: int):
     return geom, pics, pool_bucket(max_main, 4096), pool_bucket(max_esc, 64)
 
 
-def make_window_filler(geom, window: int, km: int, ke: int):
-    """Returns fill(streams) -> blob [S, total_bytes]: parses one window
-    per stream, emitting pool records and metadata straight into the
-    blob's field views (no intermediate copies)."""
-    from mpeg_tpu.parallel.batch import blob_layout, blob_views
+class BlobRing:
+    """Recycled window-blob slots: field views + ctypes args prebuilt
+    once, buffers reused round-robin, zero per-round Python allocation.
+    The native blob_window call writes every field byte itself (metadata,
+    record tails, unused slots), so recycled buffers need no np.zeros —
+    the zeroing that used to run on the Python dispatch thread now runs
+    in C++ off the GIL.
 
-    _, total = blob_layout(geom, window, km, ke)
+    A slot must be release()d only after its bytes are consumed (i.e.
+    after jax.device_put's transfer completes)."""
+
+    def __init__(self, geom, window: int, km: int, ke: int,
+                 n_streams: int, depth: int = 4):
+        from mpeg_tpu.parallel.batch import blob_layout, blob_views
+
+        _, total = blob_layout(geom, window, km, ke)
+        self.total = total
+        self._free = queue.Queue()
+        for _ in range(depth):
+            blob = np.empty((n_streams, total), np.uint8)
+            types = np.empty((n_streams, window), np.int32)
+            views = []
+            for s in range(n_streams):
+                v = blob_views(blob[s], geom, window, km, ke)
+                views.append((v["main_idx"], v["main_val"], v["esc_idx"],
+                              v["esc_val"], v["mv_h"], v["mv_v"],
+                              v["nbcls"], v["mbmisc"], v["flags"],
+                              types[s]))
+            self._free.put((blob, views))
+
+    def acquire(self):
+        return self._free.get()
+
+    def release(self, slot) -> None:
+        self._free.put(slot)
+
+
+def make_window_filler(geom, window: int, km: int, ke: int,
+                       n_streams: int = 1, depth: int = 4):
+    """Returns (fill, ring): fill(streams) -> (blob [S, total], slot)
+    parses one window per stream straight into a recycled ring slot's
+    field views; pass the slot back to ring.release() once the blob's
+    bytes have been consumed."""
+    ring = BlobRing(geom, window, km, ke, n_streams, depth)
     pool = None
     if PARSE_THREADS > 1:
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(PARSE_THREADS)
 
     def fill(streams):
-        blob = np.zeros((len(streams), total), np.uint8)
-        types = np.zeros((len(streams), window), np.int32)
+        assert len(streams) == n_streams
+        slot = ring.acquire()
+        blob, views = slot
 
         def fill_stream(s, st):
-            v = blob_views(blob[s], geom, window, km, ke)
-            args = (v["main_idx"], v["main_val"], v["esc_idx"],
-                    v["esc_val"], v["mv_h"], v["mv_v"], v["nbcls"],
-                    v["mbmisc"], v["flags"], types[s])
-
             w_done = nm = ne = 0
             while w_done < window:
                 n, nm, ne, pending = st.p.blob_window(
-                    w_done, window, km, ke, nm, ne, *args)
+                    w_done, window, km, ke, nm, ne, *views[s])
                 assert pending == 0, \
                     f"pool overflow: {nm}/{km} main, {ne}/{ke} esc"
                 w_done += n
@@ -204,9 +317,9 @@ def make_window_filler(geom, window: int, km: int, ke: int):
         else:
             for s, st in enumerate(streams):
                 fill_stream(s, st)
-        return blob
+        return blob, slot
 
-    return fill
+    return fill, ring
 
 
 def main():
@@ -240,12 +353,12 @@ def main():
     _, total_bytes = blob_layout(geom, WINDOW, km, ke)
 
     # --- stage 1b: parse budget through the production window filler ---
-    fill_one = make_window_filler(geom, WINDOW, km, ke)
+    fill_one, ring_one = make_window_filler(geom, WINDOW, km, ke, 1)
     one = [Stream(data)]
-    fill_one(one)   # warm (first window allocs)
+    ring_one.release(fill_one(one)[1])   # warm (first window faults pages)
     t0 = time.time()
     for _ in range(ROUNDS):
-        fill_one(one)
+        ring_one.release(fill_one(one)[1])
     parse_dt = time.time() - t0
     parse_fps = WINDOW * ROUNDS / parse_dt
     log(f"native parse: {pics} pictures; "
@@ -268,11 +381,20 @@ def main():
                      for _ in range(3))
 
     streams = [Stream(data) for _ in range(STREAMS)]
-    fill = make_window_filler(geom, WINDOW, km, ke)
+    fill, ring = make_window_filler(geom, WINDOW, km, ke, STREAMS)
+
+    def transfer(filled):
+        """h2d one filled blob; recycle its ring slot once the copy is
+        done (block_until_ready = transfer complete, not compute)."""
+        blob, slot = filled
+        dev = jax.device_put(blob)
+        dev.block_until_ready()
+        ring.release(slot)
+        return dev
 
     t0 = time.time()
     carry = fresh_carry()
-    carry, disps = vscan(carry, jax.device_put(fill(streams)))
+    carry, disps = vscan(carry, transfer(fill(streams)))
     jax.block_until_ready(disps)
     log(f"compile+first window: {time.time() - t0:.1f}s "
         f"(cache: {cache_dir})")
@@ -283,33 +405,38 @@ def main():
     # -> dispatch, queue depth 2 between stages.
     def one_pass():
         parse_q = queue.Queue(maxsize=2)
-        dev_q = queue.Queue(maxsize=2)
+        busy = {"parse": 0.0, "xfer+disp": 0.0}
 
         def parser_thread():
             for _ in range(ROUNDS):
-                parse_q.put(fill(streams))
+                t = time.perf_counter()
+                filled = fill(streams)
+                busy["parse"] += time.perf_counter() - t
+                parse_q.put(filled)
 
-        def transfer_thread():
-            for _ in range(ROUNDS):
-                dev_q.put(jax.device_put(parse_q.get()))
-
-        threads = [threading.Thread(target=parser_thread, daemon=True),
-                   threading.Thread(target=transfer_thread, daemon=True)]
+        th = threading.Thread(target=parser_thread, daemon=True)
         carry = fresh_carry()
         t0 = time.time()
-        for t in threads:
-            t.start()
+        th.start()
         disps = None
         for _ in range(ROUNDS):
-            carry, disps = vscan(carry, dev_q.get())
+            filled = parse_q.get()
+            t = time.perf_counter()
+            carry, disps = vscan(carry, transfer(filled))
+            busy["xfer+disp"] += time.perf_counter() - t
         jax.block_until_ready(disps)
-        return frames / (time.time() - t0)
+        dt = time.time() - t0
+        return frames / dt, {k: v / dt for k, v in busy.items()}
 
-    e2e = sorted(one_pass() for _ in range(PASSES))
+    passes = sorted(one_pass() for _ in range(PASSES))
+    e2e = [p[0] for p in passes]
     fps = statistics.median(e2e)
+    busy = passes[len(passes) // 2][1]   # the median pass's breakdown
     log(f"END-TO-END: {frames} frames/pass x {PASSES} passes -> "
         f"median {fps:.1f} fps (min {e2e[0]:.1f}, max {e2e[-1]:.1f}) "
-        f"({STREAMS} streams x window {WINDOW}, single host core)")
+        f"({STREAMS} streams x window {WINDOW}, single host core); "
+        f"median-pass thread busy: parse {busy['parse']:.0%} | "
+        f"h2d+dispatch {busy['xfer+disp']:.0%}")
 
     # Sustained mode: run the same pipeline continuously — catches
     # drift/stalls the short passes can't (thermals, tunnel weather,
@@ -320,19 +447,13 @@ def main():
     sustained_fps = None
     if sustain > 0:
         parse_q = queue.Queue(maxsize=2)
-        dev_q = queue.Queue(maxsize=2)
         stop = []
 
         def parser_thread():
             while not stop:
                 parse_q.put(fill(streams))
 
-        def transfer_thread():
-            while not stop:
-                dev_q.put(jax.device_put(parse_q.get()))
-
-        workers = [threading.Thread(target=parser_thread, daemon=True),
-                   threading.Thread(target=transfer_thread, daemon=True)]
+        workers = [threading.Thread(target=parser_thread, daemon=True)]
         for t in workers:
             t.start()
         carry = fresh_carry()
@@ -342,7 +463,7 @@ def main():
         worst = 1e9
         best = 0.0
         while time.time() - t0 < sustain:
-            carry, disps = vscan(carry, dev_q.get())
+            carry, disps = vscan(carry, transfer(parse_q.get()))
             done_frames += STREAMS * WINDOW
             lap_frames += STREAMS * WINDOW
             if lap_frames >= 960:   # ~2-3 s laps
@@ -360,11 +481,7 @@ def main():
         # the later stages reuse the same parser streams.
         while any(t.is_alive() for t in workers):
             try:
-                parse_q.get_nowait()
-            except queue.Empty:
-                pass
-            try:
-                dev_q.get_nowait()
+                ring.release(parse_q.get_nowait()[1])
             except queue.Empty:
                 pass
             time.sleep(0.01)
@@ -374,7 +491,7 @@ def main():
             f"max {best:.1f})")
 
     # transfer+device only (parse excluded)
-    pre = fill(streams)
+    pre, pre_slot = fill(streams)
     carry = fresh_carry()
     t0 = time.time()
     for _ in range(ROUNDS):
@@ -389,6 +506,7 @@ def main():
     h2d_dt = time.time() - t0
     h2d_fps = frames / h2d_dt
     h2d_mbs = pre.nbytes * ROUNDS / h2d_dt / 1e6
+    ring.release(pre_slot)
 
     # device only (blob resident)
     cur = jax.device_put(pre)
@@ -468,6 +586,89 @@ def main():
     }), flush=True)
 
     # Secondary metrics ----------------------------------------------------
+    # North-star config (BASELINE.json): 64 concurrent 1080p streams on
+    # one chip.  Device-resident fps is the MXU/HBM saturation figure;
+    # end-to-end remains bound by the single host parse core (the parse
+    # scales per-core — see BENCH_PARSE_THREADS).
+    if os.environ.get("BENCH_64STREAM", "1") != "0":
+        S64, W64, R64 = 64, 4, 3
+        geom64, pics64, km64, ke64 = discover_buckets(data, W64)
+        fill64, ring64 = make_window_filler(geom64, W64, km64, ke64, S64,
+                                            depth=2)
+        streams64 = [Stream(data) for _ in range(S64)]
+        # Stagger the identical loops so per-stream blobs differ (the
+        # tunnel compresses; 64 equal blobs would undersell h2d).
+        mb64 = geom64.mb_size
+        scratch = (np.empty(km64, np.uint32), np.empty(km64, np.int16),
+                   np.empty(ke64, np.uint32), np.empty(ke64, np.int32),
+                   np.empty(mb64, np.int16), np.empty(mb64, np.int16),
+                   np.empty(mb64, np.uint16), np.empty(mb64, np.uint8))
+        for s, st in enumerate(streams64):
+            for _ in range(s % pics64):
+                if st.p.blob_prepare() == 0:
+                    break
+                st.p.blob_emit(*scratch, 0)
+
+        def scan64(carry, blob):
+            xs = unpack_blob_jax(blob, geom64, W64, km64, ke64)
+            return jax.lax.scan(step, carry, xs)
+
+        vscan64 = jax.jit(jax.vmap(scan64), donate_argnums=0)
+        carry64 = tuple(jnp.zeros((S64, geom64.total_size), jnp.uint8)
+                        for _ in range(3))
+        t0 = time.time()
+        blob64, slot64 = fill64(streams64)
+        parse64_dt = time.time() - t0
+        dev64 = jax.device_put(blob64)
+        jax.block_until_ready(dev64)
+        ring64.release(slot64)
+        t0 = time.time()
+        carry64, disps = vscan64(carry64, dev64)
+        jax.block_until_ready(disps)
+        log(f"64-stream: compile+first window {time.time() - t0:.1f}s")
+        t0 = time.time()
+        for _ in range(R64):
+            carry64, disps = vscan64(carry64, dev64)
+        jax.block_until_ready(disps)
+        dt = time.time() - t0
+        f64 = S64 * W64 * R64
+        log(f"64-STREAM 1080p (window {W64}): device-resident "
+            f"{f64 / dt:.0f} fps/chip ({f64 / dt / S64:.1f} fps/stream); "
+            f"1-core parse feeds {S64 * W64 / parse64_dt:.0f} fps "
+            f"({blob64.nbytes / 1e6:.0f} MB/round h2d)")
+        del carry64, dev64, disps, fill64, ring64, streams64
+
+    # North-star config (BASELINE.json "sintel.mpg" row): long-form
+    # 1080p decode with fused YCbCr->RGBA output.  Synthetic film-like
+    # content (scene cuts/pans/zooms/grain) — this host has zero egress,
+    # so real film cannot be fetched; labeled accordingly.
+    if os.environ.get("BENCH_LONGFORM", "1") != "0":
+        from mpeg_tpu.parallel import BatchVideoDecoder
+        lf_path = ensure_longform_fixture()
+        lf_data = open(lf_path, "rb").read()
+
+        def longform_pass():
+            dec = BatchVideoDecoder(lf_data, window=WINDOW, emit_rgba=True)
+            n = 0
+            t0 = time.time()
+            last = None
+            while True:
+                got = dec.decode_window()
+                if not got:
+                    break
+                n += len(got)
+                last = got[-1]
+            jax.block_until_ready(last)
+            return n, time.time() - t0
+
+        longform_pass()               # warm: compiles + bucket growth
+        n, dt = longform_pass()
+        log(f"LONG-FORM (film-like synthetic, {LONGFORM_FRAMES / 24:.0f}s "
+            f"@ 24fps, {len(lf_data) / n / 1e6:.2f} MB/pic ES): {n} frames "
+            f"in {dt:.1f}s -> {n / dt:.1f} fps with fused RGBA "
+            f"({n / dt / 24:.1f}x realtime, single-stream single-core "
+            f"parse)")
+
     # C++ host-only decoder (CPU fallback path) on the same fixture.
     t0 = time.time()
     hd = native.NativeHostDecoder(data)
@@ -489,17 +690,20 @@ def main():
         "jax.config.update('jax_compilation_cache_dir', %r)\n"
         "from mpeg_tpu.parallel import BatchAudioDecoder\n"
         "adata = open(%r, 'rb').read()\n"
-        "BatchAudioDecoder(adata, window=64).decode_window()\n"
-        "dec = BatchAudioDecoder(adata, window=64)\n"
-        "t0 = time.time(); total = 0\n"
-        "while (pcm := dec.decode_window()) is not None:\n"
-        "    total += pcm.size // 2\n"
-        "dt = time.time() - t0\n"
+        "out = []\n"
+        "for fmt in ('f32', 's16'):\n"
+        "    BatchAudioDecoder(adata, window=64,\n"
+        "                      out_format=fmt).decode_window()\n"
+        "    dec = BatchAudioDecoder(adata, window=64, out_format=fmt)\n"
+        "    t0 = time.time(); total = 0\n"
+        "    while (pcm := dec.decode_window()) is not None:\n"
+        "        total += pcm.size // 2\n"
+        "    dt = time.time() - t0\n"
+        "    out.append(f'{fmt} {total / dt / 1e6:.2f} Msamples/s')\n"
         # platform in the output: on exclusive-TPU hosts the child may
         # only get CPU while the parent holds the chip — say so.
-        "print(f'{total} samples in {dt:.2f}s -> "
-        "{total / dt / 1e6:.2f} Msamples/s "
-        "[{jax.devices()[0].platform}]')\n"
+        "print(' | '.join(out) + "
+        "f' [{jax.devices()[0].platform}]')\n"
     ) % (REPO, cache_dir,
          os.path.join(REPO, "tests", "testdata", "test.mp2"))
     try:
@@ -530,18 +734,21 @@ def mesh_bench(n_devices: int):
     streams = [Stream(data) for _ in range(n_devices)]
     geom, _, km, ke = discover_buckets(data, WINDOW)
 
-    fill = make_window_filler(geom, WINDOW, km, ke)
+    # Ring deep enough that no slot is recycled inside the timed loop
+    # (the CPU-mesh dispatch may read the host buffer lazily).
+    fill, _ring = make_window_filler(geom, WINDOW, km, ke, n_devices,
+                                     depth=ROUNDS + 1)
     mesh = shd.make_mesh(jax.devices()[:n_devices])
     decode = shd.make_sharded_blob_decoder(geom, mesh, WINDOW, km, ke)
     carry = shd.zero_carry(geom, n_devices, mesh)
-    blobs = fill(streams)
+    blobs, _ = fill(streams)
     carry, disps, px = decode(carry, blobs)   # compile
     jax.block_until_ready(disps)
 
     t0 = time.time()
     px_rounds = []   # keep device-side: a host sync per round would
     for _ in range(ROUNDS):   # serialize parse against device work
-        carry, disps, px = decode(carry, fill(streams))
+        carry, disps, px = decode(carry, fill(streams)[0])
         px_rounds.append(px)
     jax.block_until_ready(disps)
     dt = time.time() - t0

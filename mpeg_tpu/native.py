@@ -83,6 +83,7 @@ def load() -> ctypes.CDLL:
     lib.pp_blob_window.restype = ctypes.c_int64
 
     lib.vp_rewind.argtypes = [ctypes.c_void_p]
+    lib.vp_reset.argtypes = [ctypes.c_void_p]
     lib.vp_unconsumed.argtypes = [ctypes.c_void_p]
     lib.vp_unconsumed.restype = ctypes.c_int64
     lib.vp_total_size.argtypes = [ctypes.c_void_p]
@@ -203,6 +204,16 @@ class NativeVideoParser:
     def rewind(self) -> None:
         """Clear stream state, keep the sequence header (video.go:195-201)."""
         self._lib.vp_rewind(self._h)
+
+    def reset(self, data: Optional[bytes] = None) -> None:
+        """Reset to fresh-parser state but KEEP the allocated plan/record
+        buffers (a new parser re-zeroes ~25 MB at 1080p — looping sources
+        reset instead of reconstructing).  Optionally feeds new bytes and
+        signals end, mirroring __init__."""
+        self._lib.vp_reset(self._h)
+        if data is not None:
+            self.feed(data)
+            self.signal_end()
 
     def unconsumed(self) -> int:
         return int(self._lib.vp_unconsumed(self._h))

@@ -349,6 +349,94 @@ def finalize_np(u: np.ndarray) -> np.ndarray:
     return np.swapaxes(u / OUT_SCALE, -1, -2).reshape(shape)
 
 
+# OUT_SCALE = -1090519040 = -(65 << 24): division by it factors into an
+# exact power-of-two exponent shift and a division of the 24-bit mantissa
+# by 65.  That makes a correctly-rounded f32 divide expressible in pure
+# int32 ops — which is how the device S16 path matches the host's exact
+# IEEE quotient even though TPU lowers f32 division to a reciprocal
+# approximation (observed 1-ulp deviations).
+assert int(-OUT_SCALE) == 65 << 24
+
+
+def div_out_scale_exact(u, xp):
+    """Bit-exact f32 `u / OUT_SCALE` via integer mantissa division.
+
+    For normal results this reproduces the IEEE round-to-nearest-even
+    quotient exactly (ties cannot occur: 65 is odd, so the true quotient
+    is never halfway between representables).  Inputs whose quotient
+    would be subnormal (|u| < 65 * 2^-103) flush to signed zero — callers
+    quantizing to S16 never see the difference (|s| < 2^-15 truncates to
+    0 either way).  `xp` is numpy or jax.numpy.
+    """
+    if xp is np:
+        bits = u.view(np.int32)
+    else:
+        from jax import lax
+        bits = lax.bitcast_convert_type(u, xp.int32)
+    i32 = xp.int32
+    su = (bits >> 31) & 1
+    E = (bits >> 23) & 0xFF
+    M = (bits & 0x7FFFFF) | 0x800000
+
+    # M/65 in [2^16.98, 2^17.98): shift 6 when M/65 >= 2^17 else shift 7
+    # puts the quotient in [2^23, 2^24) — a 24-bit mantissa.
+    big = M >= (65 << 17)
+    t = xp.where(big, M << 6, M << 7)
+    q = t // 65
+    r = t - q * 65
+    mant = q + (r >= 33).astype(i32)   # round to nearest (no ties)
+    E_out = E - xp.where(big, i32(30), i32(31))
+
+    # (E_out << 23) + mant - 2^23 carries into the exponent when
+    # rounding overflowed mant to 2^24 — exactly the renormalization.
+    out_bits = (E_out << 23) + (mant - 0x800000)
+    # c < 0 flips the sign; zero/subnormal input or subnormal result
+    # flushes to signed zero.
+    sign = (1 - su) << 31
+    out_bits = xp.where((E == 0) | (E_out <= 0), 0, out_bits) | sign
+    if xp is np:
+        return out_bits.astype(np.int32).view(np.float32)
+    from jax import lax
+    return lax.bitcast_convert_type(out_bits.astype(xp.int32), xp.float32)
+
+
+def s16_from_u(u, xp):
+    """Window outputs -> interleaved S16, exactly the reference's
+    AudioS16 lane (audio.go:401-407): s = u / -1090519040.0 (exact IEEE
+    f32 quotient), then trunc(s * 0x8000) when s < 0 else
+    trunc(s * 0x7FFF), narrowed to int16 with wraparound (the host
+    Samples.s16 semantics).  u: (..., steps, 2, 32); returns the last
+    three axes collapsed to (..., steps * 64) interleaved samples.
+
+    Running this on device halves the d2h bytes vs the f32 path.
+    """
+    s = div_out_scale_exact(u, xp)
+    scaled = xp.where(s < 0, s * np.float32(0x8000), s * np.float32(0x7FFF))
+    # f32 -> int32 truncates toward zero on both numpy and XLA; the
+    # int32 -> int16 narrowing wraps (matches np.trunc().astype(int16)).
+    i = scaled.astype(xp.int32).astype(xp.int16)
+    shape = i.shape[:-3] + (-1,)
+    return xp.swapaxes(i, -1, -2).reshape(shape)
+
+
+@functools.lru_cache(maxsize=None)
+def make_synthesize_parallel_s16_jax():
+    """The parallel synthesis fused with on-device S16 quantization:
+    (samples [T,2,32] i32, hist) -> (s16 [T*64] int16, hist')."""
+    import jax
+
+    import jax.numpy as jnp
+
+    synth = make_synthesize_parallel_jax()
+
+    @jax.jit
+    def synthesize(samples, hist):
+        u, hist = synth(samples, hist)   # [T, 2, 32]
+        return s16_from_u(u, jnp), hist  # [T * 64] interleaved
+
+    return synthesize
+
+
 _D_NP = None
 
 

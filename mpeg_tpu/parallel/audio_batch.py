@@ -20,12 +20,21 @@ class BatchAudioDecoder:
 
     def __init__(self, data: bytes, window: int = 32,
                  use_native: bool = None, streaming: bool = False,
-                 stats=None):
+                 stats=None, out_format: str = "f32"):
         """streaming: bytes arrive incrementally via feed(); call
         signal_end() at source exhaustion (decode_window returns the
         frames buffered so far in the meantime).
         stats: an optional utils.profiling.DecodeStats populated per
-        window (parse/synthesis timing, h2d bytes, samples)."""
+        window (parse/synthesis timing, h2d bytes, samples).
+        out_format: "f32" (normalized interleaved float32 — the golden
+        contract; normalization divides on host for the exact IEEE
+        quotient) or "s16" (interleaved int16 quantized ON DEVICE with
+        the bit-exact constant-divisor kernel, halving the d2h bytes —
+        matches Samples.s16 / the reference's AudioS16 lane,
+        audio.go:401-407, exactly)."""
+        if out_format not in ("f32", "s16"):
+            raise ValueError(f"unknown out_format {out_format!r}")
+        self.out_format = out_format
         window = max(4, window - window % 4)   # parallel path needs 4n frames
         from .. import native as native_mod
         if use_native is None:
@@ -142,8 +151,9 @@ class BatchAudioDecoder:
         return out
 
     def decode_window(self) -> Optional[np.ndarray]:
-        """Decode up to `window` frames; returns interleaved float32
-        [n_frames * 2304], or None at end of stream (or, in streaming
+        """Decode up to `window` frames; returns interleaved samples
+        [n_frames * 2304] (float32, or int16 with out_format="s16"), or
+        None at end of stream (or, in streaming
         mode, when a full window hasn't accumulated yet — the V-ring
         carry advances in whole windows, so partial windows only flush
         after signal_end)."""
@@ -168,17 +178,24 @@ class BatchAudioDecoder:
         if self._synth is None:
             # Parallel (scan-free) synthesis: all DCTs at once, windowed
             # MAC as strided tap slices — bit-exact vs the per-step scan.
-            self._synth = filterbank.make_synthesize_parallel_jax()
+            if self.out_format == "s16":
+                self._synth = filterbank.make_synthesize_parallel_s16_jax()
+            else:
+                self._synth = filterbank.make_synthesize_parallel_jax()
             self._v = jnp.zeros((15, 2, 64), jnp.float32)   # block history
 
         n = len(frames)
         samples = np.zeros((self.window, 36, 2, 32), np.int32)
         samples[:n] = frames
         t0 = time.perf_counter()
-        u, self._v = self._synth(
+        out, self._v = self._synth(
             jnp.asarray(samples.reshape(-1, 2, 32)), self._v)
-        u = np.asarray(u).reshape(self.window, 36, 2, 32)[:n]
-        pcm = filterbank.finalize_np(u).reshape(-1)
+        if self.out_format == "s16":
+            # Quantized + interleaved on device; d2h is int16.
+            pcm = np.asarray(out)[:n * 2304]
+        else:
+            u = np.asarray(out).reshape(self.window, 36, 2, 32)[:n]
+            pcm = filterbank.finalize_np(u).reshape(-1)
         if self.stats is not None:
             self.stats.samples += pcm.size // 2
             self.stats.transfer_bytes += samples.nbytes
@@ -186,12 +203,13 @@ class BatchAudioDecoder:
         return pcm
 
     def decode_all(self) -> np.ndarray:
-        """Decode the whole stream to interleaved float32 PCM."""
+        """Decode the whole stream to interleaved PCM (dtype per
+        out_format)."""
         chunks = []
         while True:
             pcm = self.decode_window()
             if pcm is None:
                 break
             chunks.append(pcm)
-        return np.concatenate(chunks) if chunks else \
-            np.zeros(0, np.float32)
+        dtype = np.int16 if self.out_format == "s16" else np.float32
+        return np.concatenate(chunks) if chunks else np.zeros(0, dtype)

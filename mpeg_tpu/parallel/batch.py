@@ -677,9 +677,11 @@ class BatchVideoDecoder:
 
     def _alloc_window_blob(self):
         """Allocate a window blob for the current pool buckets and return
-        (blob, field views)."""
+        (blob, field views).  Uninitialized: the native window call
+        writes every field byte itself (blob_window_impl zeroes record
+        tails and unused picture slots off the GIL)."""
         _, total = blob_layout(self.geom, self.window, self._km, self._ke)
-        blob = np.zeros(total, np.uint8)
+        blob = np.empty(total, np.uint8)
         return blob, blob_views(blob, self.geom, self.window,
                                 self._km, self._ke)
 

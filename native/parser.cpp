@@ -367,16 +367,33 @@ struct VideoParser {
     int32_t generation = 0;
     int last_ptype = 0;
 
-    // Pool-record tracking (blob transport): per-block record counts are
-    // maintained DURING the parse so vp_blob_counts is O(1) and
-    // vp_blob_emit only touches coded blocks — the v1 full rescan of
-    // every dirty MB's 384 coefficients was ~40% of the parse cost.
+    // Pool-record tracking (blob transport): records are appended
+    // EAGERLY as each block is coded (the quotient scratch is scanned
+    // once, while it is hot), so vp_blob_counts is O(1) and vp_blob_emit
+    // is a linear segment copy — the v1 full rescan of every dirty MB's
+    // 384 coefficients was ~40% of the parse cost, and the v2
+    // emit-time per-block rescan + 512 B scratch clears another ~30%.
+    // Sequential-rewrite semantics (a re-touched block's latest values
+    // win, a re-predicted MB erases its residuals) are kept by marking
+    // a block's previous segment dead.
     bool track_pool = false;
     bool plan_pending = false;          // prepared picture awaiting emit
     std::vector<int32_t> coded_stamp;   // per-block generation stamp
     std::vector<int32_t> coded_blocks;  // block ids (mb*6+b) this picture
     std::vector<uint16_t> blk_main, blk_esc;
     int64_t pool_main = 0, pool_esc = 0;
+    struct RecSeg {
+        int32_t bid;
+        uint32_t m_start, e_start;
+        uint16_t m_len, e_len;
+        bool dead;
+    };
+    std::vector<RecSeg> rec_segs;       // per coded-block record segments
+    std::vector<int32_t> seg_of;        // bid -> its live segment index
+    std::vector<uint32_t> rec_midx;     // idx = bid * 64 + pos (pic-rel)
+    std::vector<int16_t> rec_mval;
+    std::vector<uint32_t> rec_eidx;
+    std::vector<int32_t> rec_eval;
 
     void mark_dirty(int mb) {
         if (dirty_stamp.empty()) return;   // dense mode: no tracking
@@ -386,8 +403,9 @@ struct VideoParser {
         }
     }
 
-    // Count this block's (main, escape) pool records from the quotient
-    // scratch (division-free); a re-touched block replaces its counts.
+    // Append this block's (main, escape) pool records from the quotient
+    // scratch (division-free); a re-touched block's earlier segment is
+    // marked dead so only the latest values emit (sequential-rewrite).
     void note_coded_block(int bid) {
         if (coded_stamp[bid] != generation) {
             coded_stamp[bid] = generation;
@@ -395,16 +413,31 @@ struct VideoParser {
         } else {
             pool_main -= blk_main[bid];
             pool_esc -= blk_esc[bid];
+            int s = seg_of[bid];
+            if (s >= 0) {
+                rec_segs[s].dead = true;
+                seg_of[bid] = -1;
+            }
         }
-        std::memcpy(own_quots.data() + (int64_t)bid * 64, block_quot,
-                    sizeof(block_quot));
-        int m = 0, e = 0;
+        uint32_t m0 = (uint32_t)rec_midx.size();
+        uint32_t e0 = (uint32_t)rec_eidx.size();
+        uint32_t base = (uint32_t)bid * 64;
         for (int j = 0; j < 64; j++) {
             int32_t q = block_quot[j];
             if (q == 0) continue;
-            if (q >= -32768 && q <= 32767) m++;
-            else e++;
+            if (q >= -32768 && q <= 32767) {
+                rec_midx.push_back(base + (uint32_t)j);
+                rec_mval.push_back((int16_t)q);
+            } else {
+                // escape carries the full coefficient (level * premult)
+                rec_eidx.push_back(base + (uint32_t)j);
+                rec_eval.push_back(block_data[j]);
+            }
         }
+        int m = (int)(rec_midx.size() - m0);
+        int e = (int)(rec_eidx.size() - e0);
+        seg_of[bid] = (int32_t)rec_segs.size();
+        rec_segs.push_back({bid, m0, e0, (uint16_t)m, (uint16_t)e, false});
         blk_main[bid] = (uint16_t)m;
         blk_esc[bid] = (uint16_t)e;
         pool_main += m;
@@ -421,6 +454,11 @@ struct VideoParser {
                 pool_esc -= blk_esc[bid];
                 blk_main[bid] = 0;
                 blk_esc[bid] = 0;
+                int s = seg_of[bid];
+                if (s >= 0) {
+                    rec_segs[s].dead = true;
+                    seg_of[bid] = -1;
+                }
             }
         }
     }
@@ -445,10 +483,67 @@ struct VideoParser {
             coded_stamp.assign((size_t)mb_size * 6, -1);
             blk_main.assign((size_t)mb_size * 6, 0);
             blk_esc.assign((size_t)mb_size * 6, 0);
+            seg_of.assign((size_t)mb_size * 6, -1);
         }
     }
 
     void sync() { br.data = buf.data(); br.size = (int64_t)buf.size(); }
+
+    // Reset to a freshly-constructed parser WITHOUT dropping the
+    // allocated plan/record buffers (a new VideoParser re-zeroes ~25 MB
+    // of plan arrays at 1080p; looping sources reset instead).
+    void reset_stream() {
+        buf.clear();
+        base_bit = 0;
+        ended = false;
+        br.bit = 0;
+        sync();
+        has_seq_header = false;
+        start_code = -1;
+        picture_type = 0;
+        fwd = Motion{};
+        bwd = Motion{};
+        quantizer_scale = 0;
+        slice_begin = false;
+        mb_address = mb_row = mb_col = 0;
+        mb_type = 0;
+        mb_intra = false;
+        dc_pred[0] = dc_pred[1] = dc_pred[2] = 0;
+        std::memset(block_data, 0, sizeof(block_data));
+        std::memset(block_quot, 0, sizeof(block_quot));
+        // Restore the all-zero plan invariant for MBs an abandoned
+        // (prepared-but-unemitted) picture touched.
+        if (!own_sel.empty()) {
+            for (int mb : dirty_mbs) {
+                std::memset(own_nblocks.data() + (int64_t)mb * 6, 0,
+                            6 * sizeof(int32_t));
+                std::memset(own_intra.data() + (int64_t)mb * 6, 0,
+                            6 * sizeof(int32_t));
+                own_sel[mb] = 0;
+                own_mvh[mb] = 0;
+                own_mvv[mb] = 0;
+            }
+        }
+        dirty_mbs.clear();
+        coded_blocks.clear();
+        rec_segs.clear();
+        rec_midx.clear();
+        rec_mval.clear();
+        rec_eidx.clear();
+        rec_eval.clear();
+        pool_main = pool_esc = 0;
+        plan_pending = false;
+        last_ptype = 0;
+        generation++;   // stale stamps (dirty/coded) become invalid
+        for (auto& f : host_frames)
+            if (!f.empty()) std::fill(f.begin(), f.end(), 0);
+        host_has_ref = false;
+        host_last_type = 0;
+        host_flushed = false;
+        hf_cur = 0;
+        hf_fwd = 1;
+        hf_bwd = 2;
+    }
 
     void compact() {
         int64_t byte_pos = br.bit >> 3;
@@ -631,11 +726,16 @@ struct VideoParser {
 
         if (mb_address >= 0 && mb_address < mb_size) {
             mark_dirty(mb_address);
-            std::memcpy(coeffs + ((int64_t)mb_address * 6 + block) * 64,
-                        block_data, 64 * sizeof(int32_t));
+            if (track_pool) {
+                // Blob mode reads coefficients only through the eager
+                // record segments — skip the dense plan store.
+                note_coded_block(mb_address * 6 + block);
+            } else {
+                std::memcpy(coeffs + ((int64_t)mb_address * 6 + block) * 64,
+                            block_data, 64 * sizeof(int32_t));
+            }
             nblocks[mb_address * 6 + block] = n;
             intra_blk[mb_address * 6 + block] = mb_intra ? 1 : 0;
-            if (track_pool) note_coded_block(mb_address * 6 + block);
         }
         // Partial clear exactly like the reference (video.go:777,790-796).
         if (n == 1) {
@@ -1442,6 +1542,7 @@ struct Pipeline {
 extern "C" {
 
 void* vp_create() { return new VideoParser(); }
+void vp_reset(void* p) { ((VideoParser*)p)->reset_stream(); }
 void vp_destroy(void* p) { delete (VideoParser*)p; }
 
 void vp_feed(void* p, const uint8_t* data, int64_t n) {
@@ -1489,6 +1590,11 @@ void vp_rewind(void* p) {
     }
     v->dirty_mbs.clear();
     v->coded_blocks.clear();
+    v->rec_segs.clear();
+    v->rec_midx.clear();
+    v->rec_mval.clear();
+    v->rec_eidx.clear();
+    v->rec_eval.clear();
     v->pool_main = 0;
     v->pool_esc = 0;
     v->plan_pending = false;
@@ -1554,26 +1660,23 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
                  int64_t idx_base) {
     auto* v = (VideoParser*)p;
     int64_t nm = 0, ne = 0;
-    for (int bid : v->coded_blocks) {
-        int32_t* c = v->own_coeffs.data() + (int64_t)bid * 64;
-        int32_t* q = v->own_quots.data() + (int64_t)bid * 64;
-        if (v->own_nblocks[bid] > 0) {
-            for (int j = 0; j < 64; j++) {
-                if (q[j] == 0) continue;
-                uint32_t idx = (uint32_t)(idx_base + (int64_t)bid * 64 + j);
-                if (q[j] >= -32768 && q[j] <= 32767) {
-                    main_idx[nm] = idx;
-                    main_val[nm] = (int16_t)q[j];
-                    nm++;
-                } else {
-                    esc_idx[ne] = idx;
-                    esc_val[ne] = c[j];
-                    ne++;
-                }
-            }
+    uint32_t ib = (uint32_t)idx_base;
+    for (const auto& s : v->rec_segs) {
+        if (s.dead) continue;
+        const uint32_t* mi = v->rec_midx.data() + s.m_start;
+        const int16_t* mv = v->rec_mval.data() + s.m_start;
+        for (int k = 0; k < s.m_len; k++) {
+            main_idx[nm + k] = mi[k] + ib;
+            main_val[nm + k] = mv[k];
         }
-        std::memset(c, 0, 64 * sizeof(int32_t));
-        std::memset(q, 0, 64 * sizeof(int32_t));
+        nm += s.m_len;
+        const uint32_t* ei = v->rec_eidx.data() + s.e_start;
+        const int32_t* ev = v->rec_eval.data() + s.e_start;
+        for (int k = 0; k < s.e_len; k++) {
+            esc_idx[ne + k] = ei[k] + ib;
+            esc_val[ne + k] = ev[k];
+        }
+        ne += s.e_len;
     }
     for (; nm < v->pool_main; nm++) { main_idx[nm] = 0; main_val[nm] = 0; }
     for (; ne < v->pool_esc; ne++) { esc_idx[ne] = 0; esc_val[ne] = 0; }
@@ -1601,6 +1704,11 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
     bool is_ref = v->last_ptype == PIC_I || v->last_ptype == PIC_P;
     v->dirty_mbs.clear();
     v->coded_blocks.clear();
+    v->rec_segs.clear();     // capacity kept; seg_of entries are stale
+    v->rec_midx.clear();     // but gated by coded_stamp != generation
+    v->rec_mval.clear();
+    v->rec_eidx.clear();
+    v->rec_eval.clear();
     v->pool_main = 0;
     v->pool_esc = 0;
     v->generation++;
@@ -1615,6 +1723,12 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
 // overflow — the overflowing picture stays prepared (out[2] = its type;
 // size it via vp_blob_counts, grow, re-call to continue the window).
 // out = {nm, ne, pending_type}; returns pictures emitted this call.
+//
+// Every byte of the window's fields is written (per-picture metadata is
+// zeroed before emit; record tails, unused picture slots, flags and
+// types are zeroed at the end), so callers may hand in uninitialized or
+// recycled buffers — the zeroing runs here, off the GIL, instead of as
+// np.zeros on the Python dispatch thread.
 static int64_t blob_window_impl(
         VideoParser* v, int (*prepare)(void*), void* prepare_arg,
         int64_t start_pic, int64_t max_pics, int64_t km, int64_t ke,
@@ -1633,6 +1747,12 @@ static int64_t blob_window_impl(
             break;
         }
         int64_t cm = v->pool_main, ce = v->pool_esc;
+        // vp_blob_emit writes only dirty MBs: clear this picture's
+        // metadata slot first so non-dirty MBs read as zeros.
+        std::memset(mvh + w * mb, 0, mb * sizeof(int16_t));
+        std::memset(mvv + w * mb, 0, mb * sizeof(int16_t));
+        std::memset(nbcls + w * mb, 0, mb * sizeof(uint16_t));
+        std::memset(misc + w * mb, 0, mb * sizeof(uint8_t));
         flags[w] = vp_blob_emit(
             v, main_idx + nm, main_val + nm, esc_idx + ne, esc_val + ne,
             mvh + w * mb, mvv + w * mb, nbcls + w * mb, misc + w * mb,
@@ -1641,6 +1761,23 @@ static int64_t blob_window_impl(
         nm += cm;
         ne += ce;
         w++;
+    }
+    // Zero everything after what this call wrote: record-pool tails
+    // (value 0 at index 0 is a no-op on the device scatter, but stale
+    // indices/values from a recycled buffer would not be) and the
+    // unemitted picture slots (flags bit1 = 0 -> is_noop).
+    std::memset(main_idx + nm, 0, (km - nm) * sizeof(uint32_t));
+    std::memset(main_val + nm, 0, (km - nm) * sizeof(int16_t));
+    std::memset(esc_idx + ne, 0, (ke - ne) * sizeof(uint32_t));
+    std::memset(esc_val + ne, 0, (ke - ne) * sizeof(int32_t));
+    if (w < max_pics) {
+        std::memset(flags + w, 0, (max_pics - w) * sizeof(int32_t));
+        std::memset(types + w, 0, (max_pics - w) * sizeof(int32_t));
+        std::memset(mvh + w * mb, 0, (max_pics - w) * mb * sizeof(int16_t));
+        std::memset(mvv + w * mb, 0, (max_pics - w) * mb * sizeof(int16_t));
+        std::memset(nbcls + w * mb, 0,
+                    (max_pics - w) * mb * sizeof(uint16_t));
+        std::memset(misc + w * mb, 0, (max_pics - w) * mb * sizeof(uint8_t));
     }
     out[0] = nm;
     out[1] = ne;

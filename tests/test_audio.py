@@ -148,3 +148,67 @@ def test_streaming_audio_feed_matches_whole_buffer(mp2_path, mpg_path):
             h = Fnv1a64()
             h.write(got.astype("<f4").tobytes())
             assert h.sum64() in GOLDEN_AUDIO_HASHES
+
+
+def test_div_out_scale_exact_bits():
+    """The integer-mantissa division kernel reproduces the IEEE f32
+    quotient u / OUT_SCALE bit-for-bit: random normals over the full
+    exponent range plus directed boundary cases (the mantissa branch
+    cut at M = 65*2^17, rounding carry into the exponent, signed zero,
+    subnormal flush)."""
+    import jax.numpy as jnp
+    from mpeg_tpu.ops.filterbank import OUT_SCALE, div_out_scale_exact
+
+    rng = np.random.default_rng(11)
+    n = 200000
+    bits = ((rng.integers(0, 1 << 23, n).astype(np.uint32)) |
+            (rng.integers(1, 255, n).astype(np.uint32) << 23) |
+            (rng.integers(0, 2, n).astype(np.uint32) << 31))
+
+    # Directed mantissas around the shift-branch cut and the rounding
+    # carry (q = 2^24 - 1 rounding up), across several exponents.
+    directed = []
+    for m in list(range((65 << 17) - 3, (65 << 17) + 4)) + \
+            list(range((1 << 23), (1 << 23) + 8)) + \
+            list(range((1 << 24) - 8, (1 << 24))):
+        for e in (1, 100, 127, 200, 254):
+            directed.append(((m & 0x7FFFFF) | (e << 23)))
+    bits = np.concatenate([bits, np.asarray(directed, np.uint32),
+                           np.asarray([0, 0x80000000], np.uint32)])
+    u = bits.view(np.float32)
+
+    want = u / np.float32(OUT_SCALE)          # numpy: correctly rounded
+    got = div_out_scale_exact(u, np)
+    got_j = np.asarray(div_out_scale_exact(jnp.asarray(u), jnp))
+
+    want_bits = want.view(np.uint32)
+    normal = (np.abs(want) >= np.float32(2 ** -126))
+    for name, g in (("numpy", got), ("jax", got_j)):
+        gb = g.view(np.uint32) if name == "numpy" else \
+            np.asarray(g).view(np.uint32)
+        np.testing.assert_array_equal(
+            gb[normal], want_bits[normal],
+            err_msg=f"{name}: normal quotients must match bit-for-bit")
+        # subnormal quotients flush to signed zero
+        sub = ~normal
+        assert (gb[sub] & 0x7FFFFFFF).max(initial=0) == 0
+        np.testing.assert_array_equal(
+            gb[sub] >> 31, np.signbit(want[sub]).astype(np.uint32),
+            err_msg=f"{name}: flushed zeros must keep the quotient sign")
+
+
+def test_batch_audio_s16_device(mp2_path):
+    """Device-quantized S16 output (out_format="s16") equals the host
+    S16 lane exactly: trunc(s * 0x8000 / 0x7FFF) of the exact IEEE
+    quotient (audio.go:401-407), int16 with wraparound."""
+    from mpeg_tpu.parallel import BatchAudioDecoder
+
+    data = open(mp2_path, "rb").read()
+    f32 = BatchAudioDecoder(data, window=32).decode_all()
+    want = np.trunc(np.where(
+        f32 < 0, f32 * np.float32(0x8000),
+        f32 * np.float32(0x7FFF))).astype(np.int16)
+
+    got = BatchAudioDecoder(data, window=32, out_format="s16").decode_all()
+    assert got.dtype == np.int16
+    np.testing.assert_array_equal(got, want)

@@ -225,3 +225,83 @@ def test_native_host_decode_golden(mpeg1video_path):
         frames += 1
     assert frames == 260
     assert h.sum64() == 0xEA6D7FCB1340BA3F, f"{h.sum64():#018x}"
+
+
+def test_native_reset_matches_fresh_parser(mpeg1video_path):
+    """reset() returns a used parser to fresh-constructed behavior while
+    keeping its buffers: same golden hash, and identical pool records on
+    a recycled (dirty) window blob — blob_window initializes every field
+    byte itself, so reuse without np.zeros must be safe."""
+    from mpeg_tpu.parallel.batch import blob_layout, blob_views, pool_bucket
+    from mpeg_tpu.parallel import BatchVideoDecoder
+    from mpeg_tpu.utils import Fnv1a64
+
+    data = open(mpeg1video_path, "rb").read()
+
+    def golden(dec):
+        h = Fnv1a64()
+        while got := dec.decode_window():
+            for flat in got:
+                h.write(np.asarray(flat)[:dec.geom.frame_size].tobytes())
+        return h.sum64()
+
+    # Decode partway with one parser, reset it mid-stream, then run the
+    # full golden decode through the SAME native parser object.
+    p = native.NativeVideoParser(data)
+    for _ in range(7):
+        assert p.blob_prepare() != 0
+        geom = p.geom()
+        mb = geom.mb_size
+        cm, ce = p.blob_counts()
+        p.blob_emit(np.empty(max(cm, 1), np.uint32),
+                    np.empty(max(cm, 1), np.int16),
+                    np.empty(max(ce, 1), np.uint32),
+                    np.empty(max(ce, 1), np.int32),
+                    np.zeros(mb, np.int16), np.zeros(mb, np.int16),
+                    np.zeros(mb, np.uint16), np.zeros(mb, np.uint8), 0)
+    p.reset(data)
+    dec = BatchVideoDecoder(b"", window=16, streaming=True)
+    dec.native = p
+    dec._ended = True
+    assert golden(dec) == 0xEA6D7FCB1340BA3F
+
+    # Recycled-blob parity: fill a window into a garbage-filled buffer
+    # and into a zeroed one; every field byte must come out identical.
+    window = 16
+    p1 = native.NativeVideoParser(data)
+    geom = p1.geom()
+    km = ke = None
+    # discover capacities for the first window
+    counts = []
+    probe = native.NativeVideoParser(data)
+    for _ in range(window):
+        if probe.blob_prepare() == 0:
+            break
+        counts.append(probe.blob_counts())
+        mb = geom.mb_size
+        cm, ce = counts[-1]
+        probe.blob_emit(np.empty(max(cm, 1), np.uint32),
+                        np.empty(max(cm, 1), np.int16),
+                        np.empty(max(ce, 1), np.uint32),
+                        np.empty(max(ce, 1), np.int32),
+                        np.zeros(mb, np.int16), np.zeros(mb, np.int16),
+                        np.zeros(mb, np.uint16), np.zeros(mb, np.uint8), 0)
+    km = pool_bucket(sum(c[0] for c in counts), 4096)
+    ke = pool_bucket(max(sum(c[1] for c in counts), 1), 64)
+    _, total = blob_layout(geom, window, km, ke)
+
+    outs = []
+    for fill_byte in (0, 0xA5):
+        blob = np.full(total, fill_byte, np.uint8)
+        v = blob_views(blob, geom, window, km, ke)
+        types = np.full(window, -1, np.int32)
+        p2 = native.NativeVideoParser(data)
+        n, nm, ne, pending = p2.blob_window(
+            0, window, km, ke, 0, 0,
+            v["main_idx"], v["main_val"], v["esc_idx"], v["esc_val"],
+            v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
+            v["flags"], types)
+        assert n == window and pending == 0
+        outs.append({k: a.copy() for k, a in v.items()})
+    for k in outs[0]:
+        np.testing.assert_array_equal(outs[0][k], outs[1][k], err_msg=k)
