@@ -258,3 +258,68 @@ def test_batch_scan_rgba(mpeg1video_path):
         np.testing.assert_array_equal(
             disps[step], f.rgba(),
             err_msg=f"display {k} (scan step {step}) diverged")
+
+
+def test_parse_thread_pool_parity(mpeg1video_path):
+    """Two streams parsed by two CONCURRENT threads produce byte-identical
+    window blobs to sequential parsing.  This is the BENCH_PARSE_THREADS
+    scaling path: parsers share nothing and the ctypes window call
+    releases the GIL, so on multi-core hosts host parse scales
+    per-stream-per-core (this 1-core CI box can only prove correctness;
+    BASELINE.md documents the scaling expectation)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mpeg_tpu import native
+    from mpeg_tpu.parallel.batch import blob_layout, blob_views, pool_bucket
+
+    if not native.available():
+        pytest.skip("needs the native parser")
+    data = open(mpeg1video_path, "rb").read()
+    window = 16
+
+    probe = native.NativeVideoParser(data)
+    geom = probe.geom()
+    mb = geom.mb_size
+    meta = (np.zeros(mb, np.int16), np.zeros(mb, np.int16),
+            np.zeros(mb, np.uint16), np.zeros(mb, np.uint8))
+    win_m = win_e = max_m = max_e = pics = 0
+    while probe.blob_prepare() != 0:
+        cm, ce = probe.blob_counts()
+        win_m += cm
+        win_e += ce
+        probe.blob_emit(np.empty(max(cm, 1), np.uint32),
+                        np.empty(max(cm, 1), np.int16),
+                        np.empty(max(ce, 1), np.uint32),
+                        np.empty(max(ce, 1), np.int32), *meta, 0)
+        pics += 1
+        if pics % window == 0:
+            max_m, max_e = max(max_m, win_m), max(max_e, win_e)
+            win_m = win_e = 0
+    max_m, max_e = max(max_m, win_m), max(max_e, win_e)
+    km, ke = pool_bucket(max_m, 4096), pool_bucket(max(max_e, 1), 64)
+    _, total = blob_layout(geom, window, km, ke)
+
+    def parse_stream(blob_2d, s, parser):
+        """Fill stream s's rows of blob_2d [S, n_windows, total]."""
+        for w in range(blob_2d.shape[1]):
+            v = blob_views(blob_2d[s, w], geom, window, km, ke)
+            types = np.empty(window, np.int32)
+            n, nm, ne, pending = parser.blob_window(
+                0, window, km, ke, 0, 0,
+                v["main_idx"], v["main_val"], v["esc_idx"], v["esc_val"],
+                v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
+                v["flags"], types)
+            assert pending == 0
+
+    n_windows = -(-pics // window)
+    # Sequential reference fill.
+    seq = np.full((2, n_windows, total), 0x5A, np.uint8)
+    for s in range(2):
+        parse_stream(seq, s, native.NativeVideoParser(data))
+    # Concurrent fill on a 2-thread pool into dirty buffers.
+    par = np.full((2, n_windows, total), 0xC3, np.uint8)
+    parsers = [native.NativeVideoParser(data) for _ in range(2)]
+    with ThreadPoolExecutor(2) as pool:
+        list(pool.map(lambda s: parse_stream(par, s, parsers[s]),
+                      range(2)))
+    np.testing.assert_array_equal(seq, par)
