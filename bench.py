@@ -486,9 +486,9 @@ def main():
                 pass
             time.sleep(0.01)
         sustained_fps = done_frames / dt
+        laps = f" (lap min {worst:.1f}, max {best:.1f})" if best else ""
         log(f"SUSTAINED {dt:.0f}s: {done_frames} frames -> "
-            f"{sustained_fps:.1f} fps (lap min {worst:.1f}, "
-            f"max {best:.1f})")
+            f"{sustained_fps:.1f} fps{laps}")
 
     # transfer+device only (parse excluded)
     pre, pre_slot = fill(streams)
@@ -519,10 +519,13 @@ def main():
     jax.block_until_ready(disps)
     dev_fps = frames / (time.time() - t0)
 
+    bound = min(parse_fps, xfer_fps)
     log("per-stage budget (fps): "
         f"parse {parse_fps:.0f} | h2d {h2d_fps:.0f} ({h2d_mbs:.0f} MB/s) | "
         f"h2d+device {xfer_fps:.0f} | device {dev_fps:.0f} | "
-        f"pipeline bound ~{min(parse_fps, xfer_fps):.0f}")
+        f"pipeline bound ~{bound:.0f} | "
+        f"e2e efficiency {fps / bound:.0%} of bound "
+        f"(best pass {e2e[-1] / bound:.0%})")
 
     # Kernel microbenches ---------------------------------------------------
     # (a) per-MC-mode reconstruct (mirrors the reference's
@@ -568,7 +571,7 @@ def main():
     t_pal = time_fn(lambda: reconstruct_picture_pallas(
         frame, frame, frame, cf, nb, zn, ones, mvr, mvr, geom), iters=5)
     log(f"reconstruct microbench: xla {t_xla:.3f} ms/pic | "
-        f"pallas fused {t_pal:.3f} ms/pic -> "
+        f"pallas unified (1 call) {t_pal:.3f} ms/pic -> "
         f"{'xla' if t_xla <= t_pal else 'pallas'} wins "
         f"({max(t_xla, t_pal) / max(min(t_xla, t_pal), 1e-9):.0f}x)")
 
@@ -586,12 +589,20 @@ def main():
     }), flush=True)
 
     # Secondary metrics ----------------------------------------------------
-    # North-star config (BASELINE.json): 64 concurrent 1080p streams on
-    # one chip.  Device-resident fps is the MXU/HBM saturation figure;
-    # end-to-end remains bound by the single host parse core (the parse
-    # scales per-core — see BENCH_PARSE_THREADS).
-    if os.environ.get("BENCH_64STREAM", "1") != "0":
-        S64, W64, R64 = 64, 4, 3
+    # Each section is armored: a secondary metric must never kill the
+    # bench tail (OOMs/tunnel stalls get logged and skipped).
+
+    def secondary_64stream():
+        """North-star config (BASELINE.json): 64 concurrent 1080p
+        streams on one chip.  Device-resident fps is the MXU/HBM
+        saturation figure; end-to-end stays bound by the single host
+        parse core (parse scales per-core — BENCH_PARSE_THREADS)."""
+        # Working-set control: the per-stream reconstruct temps x 64
+        # exceed the 15.75 GB HBM budget, so the 64 streams decode as
+        # lax.map over 2 chunks of 32 inside ONE executable — still 64
+        # concurrent streams per dispatch, half the peak memory (each
+        # 32-batch already saturates the chip).
+        S64, W64, R64, CH = 64, 2, 3, 2
         geom64, pics64, km64, ke64 = discover_buckets(data, W64)
         fill64, ring64 = make_window_filler(geom64, W64, km64, ke64, S64,
                                             depth=2)
@@ -613,7 +624,21 @@ def main():
             xs = unpack_blob_jax(blob, geom64, W64, km64, ke64)
             return jax.lax.scan(step, carry, xs)
 
-        vscan64 = jax.jit(jax.vmap(scan64), donate_argnums=0)
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def vscan64(carry, blobs):
+            cs = tuple(c.reshape(CH, S64 // CH, -1) for c in carry)
+            bs = blobs.reshape(CH, S64 // CH, -1)
+
+            def chunk(args):
+                c0, c1, c2, b = args
+                (d0, d1, d2), disps = jax.vmap(scan64)((c0, c1, c2), b)
+                return (d0, d1, d2, disps)
+
+            d0, d1, d2, disps = jax.lax.map(chunk, (cs[0], cs[1], cs[2], bs))
+            return (tuple(d.reshape(S64, -1) for d in (d0, d1, d2)),
+                    disps.reshape(S64, W64, -1))
         carry64 = tuple(jnp.zeros((S64, geom64.total_size), jnp.uint8)
                         for _ in range(3))
         t0 = time.time()
@@ -636,32 +661,38 @@ def main():
             f"{f64 / dt:.0f} fps/chip ({f64 / dt / S64:.1f} fps/stream); "
             f"1-core parse feeds {S64 * W64 / parse64_dt:.0f} fps "
             f"({blob64.nbytes / 1e6:.0f} MB/round h2d)")
-        del carry64, dev64, disps, fill64, ring64, streams64
 
-    # North-star config (BASELINE.json "sintel.mpg" row): long-form
-    # 1080p decode with fused YCbCr->RGBA output.  Synthetic film-like
-    # content (scene cuts/pans/zooms/grain) — this host has zero egress,
-    # so real film cannot be fetched; labeled accordingly.
-    if os.environ.get("BENCH_LONGFORM", "1") != "0":
+    def secondary_longform():
+        """North-star config (BASELINE.json "sintel.mpg" row): long-form
+        1080p decode with fused YCbCr->RGBA output.  Synthetic film-like
+        content (scene cuts/pans/zooms/grain) — this host has zero
+        egress, so real film cannot be fetched; labeled accordingly."""
         from mpeg_tpu.parallel import BatchVideoDecoder
         lf_path = ensure_longform_fixture()
         lf_data = open(lf_path, "rb").read()
+        # One discovery sweep sizes the pool buckets up front — a
+        # mid-decode bucket growth recompiles the window scan (~60 s
+        # cold), which would land inside the timed pass.
+        _, _, lf_km, lf_ke = discover_buckets(lf_data, WINDOW)
+        log(f"long-form buckets: km={lf_km} ke={lf_ke}")
 
-        def longform_pass():
-            dec = BatchVideoDecoder(lf_data, window=WINDOW, emit_rgba=True)
-            n = 0
+        def longform_pass(max_windows=None):
+            dec = BatchVideoDecoder(lf_data, window=WINDOW, emit_rgba=True,
+                                    pool_buckets=(lf_km, lf_ke))
+            n = w = 0
             t0 = time.time()
             last = None
-            while True:
+            while max_windows is None or w < max_windows:
                 got = dec.decode_window()
                 if not got:
                     break
                 n += len(got)
+                w += 1
                 last = got[-1]
             jax.block_until_ready(last)
             return n, time.time() - t0
 
-        longform_pass()               # warm: compiles + bucket growth
+        longform_pass(max_windows=2)   # warm: compile the window scan
         n, dt = longform_pass()
         log(f"LONG-FORM (film-like synthetic, {LONGFORM_FRAMES / 24:.0f}s "
             f"@ 24fps, {len(lf_data) / n / 1e6:.2f} MB/pic ES): {n} frames "
@@ -669,55 +700,70 @@ def main():
             f"({n / dt / 24:.1f}x realtime, single-stream single-core "
             f"parse)")
 
-    # C++ host-only decoder (CPU fallback path) on the same fixture.
-    t0 = time.time()
-    hd = native.NativeHostDecoder(data)
-    n = 0
-    while hd.decode_next() is not None:
-        n += 1
-    log(f"C++ host-only decode: {n / (time.time() - t0):.1f} fps "
-        f"(single core)")
+    def secondary_host_decode():
+        t0 = time.time()
+        hd = native.NativeHostDecoder(data)
+        n = 0
+        while hd.decode_next() is not None:
+            n += 1
+        log(f"C++ host-only decode: {n / (time.time() - t0):.1f} fps "
+            f"(single core)")
 
-    # MP2 audio: Msamples/s through native parse + batched filterbank.
-    # Run in a SUBPROCESS with a hard timeout: in-process this stage has
-    # hit multi-minute tunnel stalls right after the heavy video work
-    # (standalone it takes ~20 s), and a secondary metric must not be
-    # able to blow the bench wall.
-    import subprocess
-    audio_code = (
-        "import sys, time; sys.path.insert(0, %r)\n"
-        "import jax\n"
-        "jax.config.update('jax_compilation_cache_dir', %r)\n"
-        "from mpeg_tpu.parallel import BatchAudioDecoder\n"
-        "adata = open(%r, 'rb').read()\n"
-        "out = []\n"
-        "for fmt in ('f32', 's16'):\n"
-        "    BatchAudioDecoder(adata, window=64,\n"
-        "                      out_format=fmt).decode_window()\n"
-        "    dec = BatchAudioDecoder(adata, window=64, out_format=fmt)\n"
-        "    t0 = time.time(); total = 0\n"
-        "    while (pcm := dec.decode_window()) is not None:\n"
-        "        total += pcm.size // 2\n"
-        "    dt = time.time() - t0\n"
-        "    out.append(f'{fmt} {total / dt / 1e6:.2f} Msamples/s')\n"
-        # platform in the output: on exclusive-TPU hosts the child may
-        # only get CPU while the parent holds the chip — say so.
-        "print(' | '.join(out) + "
-        "f' [{jax.devices()[0].platform}]')\n"
-    ) % (REPO, cache_dir,
-         os.path.join(REPO, "tests", "testdata", "test.mp2"))
-    try:
-        r = subprocess.run([sys.executable, "-c", audio_code],
-                           capture_output=True, text=True, timeout=240)
-        if r.returncode == 0 and r.stdout.strip():
-            log(f"MP2 audio: {r.stdout.strip()}")
-        else:
-            log(f"MP2 audio: FAILED rc={r.returncode}: "
-                f"{r.stderr.strip()[-200:]}")
-    except subprocess.TimeoutExpired:
-        log("MP2 audio: SKIPPED (stage exceeded 240s — tunnel stall)")
+    def secondary_audio():
+        """MP2 audio: Msamples/s through native parse + batched
+        filterbank, f32 (host-normalized golden lane) and s16
+        (device-quantized, half the d2h).  Runs in a SUBPROCESS with a
+        hard timeout: in-process this stage has hit multi-minute tunnel
+        stalls right after the heavy video work."""
+        import subprocess
+        audio_code = (
+            "import sys, time; sys.path.insert(0, %r)\n"
+            "import jax\n"
+            "jax.config.update('jax_compilation_cache_dir', %r)\n"
+            "from mpeg_tpu.parallel import BatchAudioDecoder\n"
+            "adata = open(%r, 'rb').read()\n"
+            "out = []\n"
+            "for fmt in ('f32', 's16'):\n"
+            "    BatchAudioDecoder(adata, window=64,\n"
+            "                      out_format=fmt).decode_window()\n"
+            "    dec = BatchAudioDecoder(adata, window=64, out_format=fmt)\n"
+            "    t0 = time.time(); total = 0\n"
+            "    while (pcm := dec.decode_window()) is not None:\n"
+            "        total += pcm.size // 2\n"
+            "    dt = time.time() - t0\n"
+            "    out.append(f'{fmt} {total / dt / 1e6:.2f} Msamples/s')\n"
+            # platform in the output: on exclusive-TPU hosts the child
+            # may only get CPU while the parent holds the chip — say so.
+            "print(' | '.join(out) + "
+            "f' [{jax.devices()[0].platform}]')\n"
+        ) % (REPO, cache_dir,
+             os.path.join(REPO, "tests", "testdata", "test.mp2"))
+        try:
+            r = subprocess.run([sys.executable, "-c", audio_code],
+                               capture_output=True, text=True, timeout=240)
+            if r.returncode == 0 and r.stdout.strip():
+                log(f"MP2 audio: {r.stdout.strip()}")
+            else:
+                log(f"MP2 audio: FAILED rc={r.returncode}: "
+                    f"{r.stderr.strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log("MP2 audio: SKIPPED (stage exceeded 240s — tunnel stall)")
+
+    sections = []
+    if os.environ.get("BENCH_64STREAM", "1") != "0":
+        sections.append(secondary_64stream)
+    if os.environ.get("BENCH_LONGFORM", "1") != "0":
+        sections.append(secondary_longform)
+    sections += [secondary_host_decode, secondary_audio]
+    for fn in sections:
+        try:
+            fn()
+        except Exception as e:   # noqa: BLE001
+            log(f"{fn.__name__}: FAILED {type(e).__name__}: "
+                f"{str(e)[:300]}")
 
     log(f"total bench wall: {time.time() - t_start:.1f}s")
+
 
 
 def mesh_bench(n_devices: int):

@@ -14,15 +14,19 @@ section prints the delta; the default decode path keeps whichever wins):
   line is one full-width VPU op (Mosaic cannot reshape the lane dim, and
   block-major [TILE, 64] would leave 127/128 lanes idle).
 
-- `reconstruct_picture_pallas`: the fused reconstruct — motion
-  compensation (window reads + the exact {copy, (a+b+1)>>1,
+- `reconstruct_picture_pallas`: the SINGLE-dispatch fused reconstruct —
+  motion compensation (window reads + the exact {copy, (a+b+1)>>1,
   (a+c+1)>>1, (a+b+c+d+2)>>2} rounding family, semantics target
-  /root/reference/video_amd64.s:91-165), residual add and clamp in ONE
-  VMEM pass per plane.  The whole [fwd|bwd] frame stack sits in VMEM
-  (uint8; ~6.7 MB for 1080p) and each grid step reconstructs one
-  macroblock row, reading its windows with per-pixel-row clamped
-  dynamic slices — bit-exact vs the XLA sliced-gather path including
-  junk-stream out-of-range motion vectors.
+  /root/reference/video_amd64.s:91-165), residual add and clamp for ALL
+  THREE planes in ONE pallas_call: a packed row layout (luma rows, then
+  Cb|Cr side by side) gives a uniform (8, wp) grid serving both plane
+  shapes, and the [fwd|bwd] stack sits whole in VMEM in both stride
+  views (same bytes — the full-stack view preserves the junk-MV
+  shared-buffer overread parity).  Bit-exact vs the XLA sliced-gather
+  path including junk-stream motion vectors.  One custom call per
+  picture is also the contention-robust form: in stalled tunnel windows
+  the multi-call variant (kept as `reconstruct_picture_pallas_multi`)
+  and the many-op XLA path amplify per-op stalls ~50x.
 
 Runs in interpret mode on CPU for tests; compiled on TPU.
 """
@@ -297,13 +301,17 @@ def _plane_pallas(src_ext, cur_plane, res_plane, coded_px, intra_px,
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret",
                                              "pallas_idct"))
-def reconstruct_picture_pallas(cur_flat, fwd_flat, bwd_flat,
-                               coeffs, nblocks, intra_blk, src_sel,
-                               mv_h, mv_v, geom: FrameGeometry,
-                               interpret: bool = False,
-                               pallas_idct: bool = True):
-    """Pallas variant of ops.video_recon.reconstruct_picture: same
-    signature/semantics, fused MC+residual+clamp plane kernels."""
+def reconstruct_picture_pallas_multi(cur_flat, fwd_flat, bwd_flat,
+                                     coeffs, nblocks, intra_blk, src_sel,
+                                     mv_h, mv_v, geom: FrameGeometry,
+                                     interpret: bool = False,
+                                     pallas_idct: bool = True):
+    """Multi-call Pallas variant of reconstruct_picture: separate
+    luma and fused-chroma plane kernels (2 custom calls, 3 with the
+    Pallas IDCT).  Kept for comparison; the default Pallas path is the
+    SINGLE-call `reconstruct_picture_pallas` below — on contended
+    chips the multi-custom-call form shows larger stall amplification
+    (BASELINE.md)."""
     src_stack = jnp.concatenate([fwd_flat, bwd_flat])
     src_len = src_stack.shape[0]
     mb = geom.mb_size
@@ -379,6 +387,282 @@ def reconstruct_picture_pallas(cur_flat, fwd_flat, bwd_flat,
     out_cb = out_c[:geom.chroma_height]
     out_cr = out_c[geom.chroma_height:]
 
+    pad = cur_flat[geom.frame_size:]
+    return jnp.concatenate([
+        out_y.reshape(-1), out_cb.reshape(-1), out_cr.reshape(-1), pad])
+
+
+# --------------------------------------------------------------------------
+# Single-dispatch reconstruct: luma + chroma in ONE pallas_call
+# --------------------------------------------------------------------------
+#
+# All three planes reconstruct through one kernel over a PACKED row
+# layout (uniform (8, wp) output blocks so one grid serves both plane
+# shapes):
+#
+#   rows [0, mbh*16)        luma plane (two 8-row steps per MB row)
+#   rows [mbh*16, mbh*24)   chroma: Cb at lanes [0, 8*mbwp),
+#                           Cr at lanes [8*mbwp, 16*mbwp)
+#
+# Grid = 3*mbh steps: i < 2*mbh -> luma half-row i//2 (+8 rows when
+# i odd); else chroma row i - 2*mbh handling Cb and Cr side by side.
+# The two source views (full [fwd|bwd] stack at luma stride and at
+# chroma stride — the SAME bytes; the full-stack view is what preserves
+# the junk-MV shared-buffer overread parity) both sit whole in VMEM.
+# The residual/coded/intra inputs arrive pre-packed in the same row
+# layout (built by XLA, where the IDCT also runs — fused and bit-exact,
+# ops/video_recon.idct_batch), so the Pallas path costs exactly ONE
+# custom call per picture vs the previous three.
+
+_U_TILE_ROWS = 16   # 8-aligned slack (7) + 8 pixel rows + 1 tap
+
+
+def _make_unified_kernel(mbh: int, mbwp: int,
+                         rows2_l: int, rows2p_l: int,
+                         rows2_c: int, rows2p_c: int):
+    wp = 16 * mbwp
+
+    def mb_pred(src_ref, rows2, rows2p, ys0, xs, oh, ov, bw):
+        """Motion-compensate one (8, bw) half/block -> int32."""
+        y_min = jnp.clip(ys0, 0, rows2 - 2)
+        base8 = pl.multiple_of(
+            jnp.clip((y_min >> 3) << 3, 0, rows2p - _U_TILE_ROWS), 8)
+        xbase = pl.multiple_of((xs >> 7) << 7, 128)
+        tile = src_ref[pl.ds(base8, _U_TILE_ROWS),
+                       pl.ds(xbase, _TILE_COLS)] \
+            .astype(jnp.int32).astype(jnp.float32)
+
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (8, _U_TILE_ROWS), 0)
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (8, _U_TILE_ROWS), 1)
+        t_a = jnp.clip(ys0 + r_idx, 0, rows2 - 2) - base8
+        sel_a = (k_idx == t_a).astype(jnp.float32)
+        sel_c = (k_idx == t_a + 1).astype(jnp.float32)
+        rows_a = jnp.dot(sel_a, tile, preferred_element_type=jnp.float32)
+        rows_c = jnp.dot(sel_c, tile, preferred_element_type=jnp.float32)
+
+        cidx = xs - xbase
+        kc = jax.lax.broadcasted_iota(jnp.int32, (_TILE_COLS, bw + 1), 0)
+        jc = jax.lax.broadcasted_iota(jnp.int32, (_TILE_COLS, bw + 1), 1)
+        sel_col = (kc == cidx + jc).astype(jnp.float32)
+        w_a = jnp.dot(rows_a, sel_col,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+        w_c = jnp.dot(rows_c, sel_col,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        sh = oh + ov
+        bias = (jnp.int32(1) << sh) >> 1
+        hv = oh & ov
+        a = w_a[:, :bw]
+        b = w_a[:, 1:]
+        c = w_c[:, :bw]
+        d = w_c[:, 1:]
+        return (a + b * oh + c * ov + d * hv + bias) >> sh
+
+    def kernel(ys_l, xs_l, oh_l, ov_l, sel_l,
+               ys_c, xs_c, oh_c, ov_c, sel_c,
+               srcl_ref, srcc_ref, cur_ref, res_ref, mask_ref, out_ref):
+        i = pl.program_id(0)
+
+        def compose(g, pred, sel):
+            col = pl.ds(pl.multiple_of(g * 128, 128), 128)
+            cur = cur_ref[:, col].astype(jnp.int32)
+            # mask int8: bit0 = coded, bit1 = intra (one plane instead of
+            # two int32 planes — the HBM traffic was the XLA-path gap)
+            m = mask_ref[:, col].astype(jnp.int32)
+            pred = jnp.where(sel > 0, pred, cur)
+            base = jnp.where((m >> 1) > 0, 0, pred)
+            out = jnp.where((m & 1) > 0,
+                            jnp.clip(base + res_ref[:, col], 0, 255), pred)
+            out_ref[:, col] = out.astype(jnp.uint8)
+
+        @pl.when(i < 2 * mbh)
+        def _luma():
+            base_slot = i * mbwp
+
+            def body(g, _):
+                s0 = base_slot + g * 8
+                pred = jnp.concatenate(
+                    [mb_pred(srcl_ref, rows2_l, rows2p_l,
+                             ys_l[s0 + u], xs_l[s0 + u],
+                             oh_l[s0 + u], ov_l[s0 + u], 16)
+                     for u in range(8)], axis=1)
+                sel = jnp.concatenate(
+                    [jnp.full((1, 16), sel_l[s0 + u], jnp.int32)
+                     for u in range(8)], axis=1)
+                compose(g, pred, sel)
+                return 0
+
+            jax.lax.fori_loop(0, mbwp // 8, body, 0)
+
+        @pl.when(i >= 2 * mbh)
+        def _chroma():
+            base_slot = (i - 2 * mbh) * (2 * mbwp)
+
+            def body(g, _):
+                s0 = base_slot + g * 16
+                pred = jnp.concatenate(
+                    [mb_pred(srcc_ref, rows2_c, rows2p_c,
+                             ys_c[s0 + u], xs_c[s0 + u],
+                             oh_c[s0 + u], ov_c[s0 + u], 8)
+                     for u in range(16)], axis=1)
+                sel = jnp.concatenate(
+                    [jnp.full((1, 8), sel_c[s0 + u], jnp.int32)
+                     for u in range(16)], axis=1)
+                compose(g, pred, sel)
+                return 0
+
+            jax.lax.fori_loop(0, mbwp // 8, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
+def reconstruct_picture_pallas(cur_flat, fwd_flat, bwd_flat,
+                               coeffs, nblocks, intra_blk, src_sel,
+                               mv_h, mv_v, geom: FrameGeometry,
+                               interpret: bool = False):
+    """Pallas variant of ops.video_recon.reconstruct_picture: same
+    signature/semantics, ONE custom call for the whole picture
+    (fused MC + residual + clamp over all three planes; the IDCT runs
+    in XLA where it fuses with the residual packing)."""
+    src_stack = jnp.concatenate([fwd_flat, bwd_flat])
+    src_len = src_stack.shape[0]
+    mb = geom.mb_size
+    mbh, mbw = geom.mb_height, geom.mb_width
+    mbwp = -(-mbw // 8) * 8
+    wp = 16 * mbwp
+    lw, cw = geom.luma_width, geom.chroma_width
+
+    hp, vp, oh, ov = mv_h >> 1, mv_v >> 1, mv_h & 1, mv_v & 1
+    cm_h, cm_v = _trunc_div2(mv_h), _trunc_div2(mv_v)
+    chp, cvp, coh, cov = cm_h >> 1, cm_v >> 1, cm_h & 1, cm_v & 1
+    sel_bwd = src_sel == 2
+
+    vals = idct_batch(coeffs, nblocks, jnp)
+    coded = (nblocks > 0).astype(jnp.int32)
+
+    def ext(stride):
+        rows2 = src_len // stride
+        s2 = src_stack.reshape(rows2, stride)
+        e = jnp.concatenate([s2[1:, :_EXT_COLS],
+                             jnp.zeros((1, _EXT_COLS), s2.dtype)])
+        out = jnp.concatenate([s2, e], axis=1)
+        rows2p = max(-(-rows2 // 8) * 8, _U_TILE_ROWS)
+        cols_need = ((stride - 1) >> 7 << 7) + _TILE_COLS
+        pad_r = rows2p - rows2
+        pad_c = max(0, cols_need - out.shape[1])
+        if pad_r or pad_c:
+            out = jnp.pad(out, ((0, pad_r), (0, pad_c)))
+        return out, rows2, rows2p
+
+    srcl, rows2_l, rows2p_l = ext(lw)
+    srcc, rows2_c, rows2p_c = ext(cw)
+
+    # ---- packed pixel-layout inputs: [mbh*24, wp] ----
+    cb0 = geom.luma_size
+    cr0 = geom.luma_size + geom.chroma_size
+
+    def pack(luma_plane, cb_plane, cr_plane, dtype):
+        """[mbh*24, wp] packed rows: luma, then Cb | Cr side by side
+        (Cr lanes start at 8*mbwp — the slot layout the kernel uses)."""
+        lu = jnp.pad(luma_plane.astype(dtype),
+                     ((0, 0), (0, wp - mbw * 16)))
+        zpad = jnp.zeros((mbh * 8, 8 * (mbwp - mbw)), dtype)
+        ch = jnp.concatenate(
+            [cb_plane.astype(dtype), zpad, cr_plane.astype(dtype), zpad],
+            axis=1)
+        return jnp.concatenate([lu, ch])
+
+    cur_pack = pack(
+        cur_flat[:geom.luma_size].reshape(geom.luma_height, lw),
+        cur_flat[cb0:cb0 + geom.chroma_size].reshape(geom.chroma_height,
+                                                     cw),
+        cur_flat[cr0:cr0 + geom.chroma_size].reshape(geom.chroma_height,
+                                                     cw),
+        jnp.uint8)
+    res_pack = pack(
+        _luma_blocks_to_plane(vals[:, :4], geom, jnp),
+        _chroma_blocks_to_plane(vals[:, 4], geom, jnp),
+        _chroma_blocks_to_plane(vals[:, 5], geom, jnp),
+        jnp.int32)
+
+    def per_block_luma(a):
+        return _luma_blocks_to_plane(
+            jnp.broadcast_to(a[:, :, None], (mb, 4, 64)), geom, jnp)
+
+    def per_block_chroma(a):
+        return _chroma_blocks_to_plane(
+            jnp.broadcast_to(a[:, None], (mb, 64)), geom, jnp)
+
+    # bit0 = coded, bit1 = intra — one int8 plane for both masks
+    cmask = coded + 2 * intra_blk
+    mask_pack = pack(per_block_luma(cmask[:, :4]),
+                     per_block_chroma(cmask[:, 4]),
+                     per_block_chroma(cmask[:, 5]), jnp.int8)
+
+    # ---- per-slot scalars ----
+    g2 = lambda a: a.reshape(mbh, mbw)
+
+    def padslots(a2d, slots):
+        return jnp.pad(a2d, ((0, 0), (0, slots - a2d.shape[1]))) \
+            .reshape(-1).astype(jnp.int32)
+
+    ys_y, xs_y = _mb_window_starts(sel_bwd, hp, vp, 0, lw, 16, geom,
+                                   src_len)
+    # luma half-steps: step i covers MB row i//2, pixel rows (i%2)*8;
+    # flat addressing advances one row per pixel row, so the lower half
+    # starts at ys0 + 8.
+    def halves(a):   # [mbh, mbw] -> [2*mbh, mbwp] (row pairs)
+        return jnp.stack([a, a], axis=1).reshape(2 * mbh, mbw)
+
+    ys_l = padslots(halves(ys_y) +
+                    (jnp.arange(2 * mbh, dtype=jnp.int32) % 2)[:, None] * 8,
+                    mbwp)
+    xs_l = padslots(halves(xs_y), mbwp)
+    oh_l = padslots(halves(g2(oh)), mbwp)
+    ov_l = padslots(halves(g2(ov)), mbwp)
+    sel_l = padslots(halves(g2(src_sel)), mbwp)
+
+    ys_cb, xs_cb = _mb_window_starts(sel_bwd, chp, cvp, cb0, cw, 8, geom,
+                                     src_len)
+    ys_cr, xs_cr = _mb_window_starts(sel_bwd, chp, cvp, cr0, cw, 8, geom,
+                                     src_len)
+
+    def cslots(cb, cr):   # [mbh, mbw] x2 -> [mbh, 2*mbwp] flat
+        z = jnp.zeros((mbh, mbwp - mbw), jnp.int32)
+        return jnp.concatenate(
+            [cb.astype(jnp.int32), z, cr.astype(jnp.int32), z],
+            axis=1).reshape(-1)
+
+    ys_c = cslots(ys_cb, ys_cr)
+    xs_c = cslots(xs_cb, xs_cr)
+    oh_c = cslots(g2(coh), g2(coh))
+    ov_c = cslots(g2(cov), g2(cov))
+    sel_c = cslots(g2(src_sel), g2(src_sel))
+
+    kernel = _make_unified_kernel(mbh, mbwp, rows2_l, rows2p_l,
+                                  rows2_c, rows2p_c)
+    row_block = lambda: pl.BlockSpec((8, wp), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(3 * mbh,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # srcl whole
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # srcc whole
+                  row_block(), row_block(), row_block()],
+        out_specs=row_block(),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mbh * 24, wp), jnp.uint8),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ys_l, xs_l, oh_l, ov_l, sel_l, ys_c, xs_c, oh_c, ov_c, sel_c,
+      srcl, srcc, cur_pack, res_pack, mask_pack)
+
+    out_y = out[:mbh * 16, :mbw * 16]
+    out_cb = out[mbh * 16:, :mbw * 8]
+    out_cr = out[mbh * 16:, 8 * mbwp:8 * mbwp + mbw * 8]
     pad = cur_flat[geom.frame_size:]
     return jnp.concatenate([
         out_y.reshape(-1), out_cb.reshape(-1), out_cr.reshape(-1), pad])

@@ -328,16 +328,41 @@ def unpack_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
 # Scan decoders
 # --------------------------------------------------------------------------
 
+# The unified Pallas kernel keeps both stride views of the [fwd|bwd]
+# stack whole in VMEM; geometries whose views exceed this budget fall
+# back to XLA under recon="auto" (1080p uses ~14.4 MB of ~16 MB/core).
+_PALLAS_VMEM_BUDGET = 15 << 20
+
+
+def _resolve_recon(recon: str, geom: FrameGeometry) -> str:
+    if recon != "auto":
+        return recon
+    import jax
+    if jax.devices()[0].platform != "tpu":
+        return "xla"   # interpret-mode Pallas is far too slow off-TPU
+    est = 0
+    for stride in (geom.luma_width, geom.chroma_width):
+        rows2 = 2 * geom.total_size // stride
+        est += rows2 * (((stride - 1) >> 7 << 7) + 256)
+    return "pallas" if est <= _PALLAS_VMEM_BUDGET else "xla"
+
+
 def make_scan_step(geom: FrameGeometry, emit_rgba: bool = False,
-                   recon: str = "xla"):
+                   recon: str = "auto"):
     """The per-picture scan step over dense plan tensors (shared by the
     dense and blob decoders and the sharded mesh decoder).
 
-    recon: "xla" (sliced-gather formulation, the default — measured
-    faster on v5e) or "pallas" (the fused VMEM kernel,
-    ops/pallas_kernels.reconstruct_picture_pallas); both bit-exact.
+    recon: "pallas" (the single-dispatch fused kernel,
+    ops/pallas_kernels.reconstruct_picture_pallas), "xla" (sliced-gather
+    formulation) or "auto" (default: pallas on TPU where the geometry
+    fits its VMEM budget, xla otherwise).  Both are bit-exact; on a
+    quiet v5e they tie at the HBM floor (~0.02 ms/1080p picture), but
+    under tunnel/host contention the many-op XLA program amplifies
+    per-op stalls ~6-50x while the single-custom-call kernel holds.
     """
     import jax.numpy as jnp
+
+    recon = _resolve_recon(recon, geom)
 
     def reconstruct(cur, fwd_eff, bwd, plan):
         args = (cur, fwd_eff, bwd, plan["coeffs"], plan["nblocks"],
@@ -392,7 +417,7 @@ def make_dense_scan_decoder(geom: FrameGeometry, emit_rgba: bool = False):
 @functools.lru_cache(maxsize=None)
 def make_blob_scan_decoder(geom: FrameGeometry, window: int, km: int,
                            ke: int, emit_rgba: bool = False,
-                           recon: str = "xla"):
+                           recon: str = "auto"):
     """Jitted scan over one window blob (the production transport):
     (carry, blob uint8[total_bytes]) -> (carry, displays).
 
@@ -437,7 +462,8 @@ class BatchVideoDecoder:
 
     def __init__(self, buf, window: int = None, transport: str = None,
                  use_native: bool = None, stats=None, config=None,
-                 emit_rgba: bool = False, streaming: bool = False):
+                 emit_rgba: bool = False, streaming: bool = False,
+                 pool_buckets: tuple = None):
         """`buf` is a Buffer (Python parse) or bytes (native parse).
 
         use_native: parse with the C++ parser (requires blob transport);
@@ -451,6 +477,9 @@ class BatchVideoDecoder:
         signal_end() when the source is exhausted (decode_window returns
         whatever whole pictures are buffered in the meantime).  The
         Python-parse path streams via a push-fed Buffer instead.
+        pool_buckets: optional (km, ke) initial pool capacities — size
+        them from a discovery sweep to avoid mid-decode bucket growth
+        (each growth recompiles the window scan).
         Unset arguments fall back to `config` (default config.DEFAULT).
         """
         from ..config import DEFAULT
@@ -512,6 +541,10 @@ class BatchVideoDecoder:
         # the first I-heavy window sets the high-water mark).
         self._km = _MIN_KM
         self._ke = _MIN_KE
+        if pool_buckets is not None:
+            km, ke = pool_buckets
+            self._km = pool_bucket(km, _MIN_KM)
+            self._ke = pool_bucket(max(ke, 1), _MIN_KE)
 
     @classmethod
     def at_time(cls, data: bytes, seek_time: float, **kwargs):

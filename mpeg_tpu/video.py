@@ -118,6 +118,13 @@ class Video:
         "plan" (parse only).  `parser`: "python", "native" (C++) or "auto"
         (native when available, python otherwise).  Unset arguments fall
         back to `config` (default config.DEFAULT).
+
+        Transport note: the interactive "jax" backend ships DENSE plan
+        tensors per picture (12.5 MB at 1080p, ~97% zeros) — fine at the
+        fixture sizes this class targets, a ~50x transport handicap at
+        1080p.  Throughput decode belongs to parallel.BatchVideoDecoder,
+        whose window-pool blob transport packs the same pictures to
+        ~0.2-0.3 MB each.
         """
         from .config import DEFAULT
         cfg = config if config is not None else DEFAULT
