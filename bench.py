@@ -136,8 +136,13 @@ def ensure_longform_fixture() -> str:
                                 np.uint8)
             base = cv2.resize(base, (WIDTH * 2, HEIGHT * 2),
                               interpolation=cv2.INTER_CUBIC)
-            detail = rng.integers(0, 40, (HEIGHT * 2, WIDTH * 2, 3),
-                                  np.uint8)
+            # Soft texture, not raw noise: panning razor-sharp random
+            # detail cost ~190 KB/frame (80 Mbps — 10x any real film's
+            # MPEG-1 rate); blurred detail + light grain lands at
+            # ~34 KB/frame = 6.5 Mbps, the sintel-class encode range.
+            detail = cv2.GaussianBlur(
+                rng.integers(0, 40, (HEIGHT * 2, WIDTH * 2, 3), np.uint8),
+                (7, 7), 0)
             scene = cv2.add(base, detail)
             px, py = rng.integers(0, WIDTH // 2), rng.integers(0, HEIGHT // 2)
             vx, vy = rng.uniform(-3, 3), rng.uniform(-2, 2)
@@ -149,7 +154,7 @@ def ensure_longform_fixture() -> str:
         view = scene[y:y + int(HEIGHT / z), x:x + int(WIDTH / z)]
         frame = cv2.resize(view, (WIDTH, HEIGHT),
                            interpolation=cv2.INTER_LINEAR)
-        grain = rng.integers(-6, 7, (HEIGHT, WIDTH, 1), np.int16)
+        grain = rng.integers(-2, 3, (HEIGHT, WIDTH, 1), np.int16)
         frame = np.clip(frame.astype(np.int16) + grain, 0,
                         255).astype(np.uint8)
         w.write(frame)
@@ -520,12 +525,17 @@ def main():
     dev_fps = frames / (time.time() - t0)
 
     bound = min(parse_fps, xfer_fps)
+    if fps <= 1.2 * bound:
+        eff = (f"e2e efficiency {fps / bound:.0%} of bound "
+               f"(best pass {e2e[-1] / bound:.0%})")
+    else:
+        # The stage budget is measured minutes after the e2e passes; a
+        # tunnel stall during the budget makes the ratio meaningless.
+        eff = "e2e exceeds measured bound — budget hit a tunnel stall"
     log("per-stage budget (fps): "
         f"parse {parse_fps:.0f} | h2d {h2d_fps:.0f} ({h2d_mbs:.0f} MB/s) | "
         f"h2d+device {xfer_fps:.0f} | device {dev_fps:.0f} | "
-        f"pipeline bound ~{bound:.0f} | "
-        f"e2e efficiency {fps / bound:.0%} of bound "
-        f"(best pass {e2e[-1] / bound:.0%})")
+        f"pipeline bound ~{bound:.0f} | " + eff)
 
     # Kernel microbenches ---------------------------------------------------
     # (a) per-MC-mode reconstruct (mirrors the reference's
@@ -641,6 +651,9 @@ def main():
                     disps.reshape(S64, W64, -1))
         carry64 = tuple(jnp.zeros((S64, geom64.total_size), jnp.uint8)
                         for _ in range(3))
+        # Warm fill first: 64 fresh parsers fault in ~25 MB of plan
+        # arrays each on first use — that cold start is not parse rate.
+        ring64.release(fill64(streams64)[1])
         t0 = time.time()
         blob64, slot64 = fill64(streams64)
         parse64_dt = time.time() - t0

@@ -53,23 +53,27 @@ def test_fused_reconstruct_pallas_parity():
     import jax.numpy as jnp
     from mpeg_tpu.ops.pallas_kernels import reconstruct_picture_pallas
 
-    geom = vr.FrameGeometry.for_size(80, 48)
     rng = np.random.default_rng(11)
+    # 80x48: mbw=5 (pad slots fill the single 128-lane group);
+    # 272x64: mbw=17 (pad slots land mid-group across a lane-group
+    # boundary in the unified kernel's packed layout).
+    for size in ((80, 48), (272, 64)):
+        geom = vr.FrameGeometry.for_size(*size)
 
-    cur = rng.integers(0, 256, geom.total_size).astype(np.uint8)
-    fwd = rng.integers(0, 256, geom.total_size).astype(np.uint8)
-    bwd = rng.integers(0, 256, geom.total_size).astype(np.uint8)
+        cur = rng.integers(0, 256, geom.total_size).astype(np.uint8)
+        fwd = rng.integers(0, 256, geom.total_size).astype(np.uint8)
+        bwd = rng.integers(0, 256, geom.total_size).astype(np.uint8)
 
-    for trial in range(3):
-        p = _random_plan(geom, rng, ptype=1 + (trial % 2))
-        args = (cur, fwd, bwd, p.coeffs, p.nblocks, p.intra_blk,
-                p.src_sel, p.mv_h, p.mv_v, geom)
-        want = vr.reconstruct_picture(*args, np)
-        got = np.asarray(reconstruct_picture_pallas(
-            *args, interpret=True))
-        assert np.array_equal(got, want), \
-            f"trial {trial}: {np.flatnonzero(got != want)[:8]}"
-        cur, fwd, bwd = got, bwd, cur   # evolve state across trials
+        for trial in range(3):
+            p = _random_plan(geom, rng, ptype=1 + (trial % 2))
+            args = (cur, fwd, bwd, p.coeffs, p.nblocks, p.intra_blk,
+                    p.src_sel, p.mv_h, p.mv_v, geom)
+            want = vr.reconstruct_picture(*args, np)
+            got = np.asarray(reconstruct_picture_pallas(
+                *args, interpret=True))
+            assert np.array_equal(got, want), \
+                f"{size} trial {trial}: {np.flatnonzero(got != want)[:8]}"
+            cur, fwd, bwd = got, bwd, cur   # evolve state across trials
 
 
 def test_fused_reconstruct_pallas_golden(mpeg1video_path):
