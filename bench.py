@@ -651,9 +651,11 @@ def main():
                     disps.reshape(S64, W64, -1))
         carry64 = tuple(jnp.zeros((S64, geom64.total_size), jnp.uint8)
                         for _ in range(3))
-        # Warm fill first: 64 fresh parsers fault in ~25 MB of plan
-        # arrays each on first use — that cold start is not parse rate.
-        ring64.release(fill64(streams64)[1])
+        # Warm both ring slots first: 64 fresh parsers fault in ~25 MB
+        # of plan arrays each, and each 58 MB ring slot page-faults on
+        # first touch — cold starts, not parse rate.
+        for _ in range(2):
+            ring64.release(fill64(streams64)[1])
         t0 = time.time()
         blob64, slot64 = fill64(streams64)
         parse64_dt = time.time() - t0
