@@ -345,7 +345,8 @@ def main():
 
     from mpeg_tpu import native
     from mpeg_tpu.parallel.batch import (
-        blob_layout, make_scan_step, pool_bucket, unpack_blob_jax,
+        blob_layout, densify_blob_jax, make_scan_step, pool_bucket,
+        unpack_blob_meta,
     )
 
     devices = jax.devices()
@@ -373,13 +374,23 @@ def main():
         f"{total_bytes / WINDOW / 1e6:.2f} MB/pic blob")
 
     # --- device: multi-stream windowed scan, donated carry ---
+    # Two executables (densify scatter standalone, then the scatter-free
+    # scan) — the split keeps TPU compile time sane; see
+    # parallel.batch.densify_blob_jax.
     step = make_scan_step(geom)
 
-    def scan_one(carry, blob):
-        xs = unpack_blob_jax(blob, geom, WINDOW, km, ke)
+    vdensify = jax.jit(jax.vmap(
+        lambda blob: densify_blob_jax(blob, geom, WINDOW, km, ke)))
+
+    def scan_one(carry, blob, dense):
+        xs = unpack_blob_meta(blob, geom, WINDOW, km, ke)
+        xs["coeffs"] = dense.reshape(WINDOW, geom.mb_size, 6, 64)
         return jax.lax.scan(step, carry, xs)
 
-    vscan = jax.jit(jax.vmap(scan_one), donate_argnums=0)
+    vscan_stage = jax.jit(jax.vmap(scan_one), donate_argnums=0)
+
+    def vscan(carry, blobs):
+        return vscan_stage(carry, blobs, vdensify(blobs))
 
     def fresh_carry():
         return tuple(jnp.zeros((STREAMS, geom.total_size), jnp.uint8)
@@ -630,25 +641,36 @@ def main():
                     break
                 st.p.blob_emit(*scratch, 0)
 
-        def scan64(carry, blob):
-            xs = unpack_blob_jax(blob, geom64, W64, km64, ke64)
+        def scan64(carry, blob, dense):
+            xs = unpack_blob_meta(blob, geom64, W64, km64, ke64)
+            xs["coeffs"] = dense.reshape(W64, geom64.mb_size, 6, 64)
             return jax.lax.scan(step, carry, xs)
 
         import functools
 
+        @jax.jit
+        def vdensify64(blobs):
+            cb = blobs.reshape(CH, S64 // CH, -1)
+            return jax.lax.map(jax.vmap(
+                lambda b: densify_blob_jax(b, geom64, W64, km64, ke64)), cb)
+
         @functools.partial(jax.jit, donate_argnums=0)
-        def vscan64(carry, blobs):
+        def vscan64_stage(carry, blobs, dense):
             cs = tuple(c.reshape(CH, S64 // CH, -1) for c in carry)
             bs = blobs.reshape(CH, S64 // CH, -1)
 
             def chunk(args):
-                c0, c1, c2, b = args
-                (d0, d1, d2), disps = jax.vmap(scan64)((c0, c1, c2), b)
+                c0, c1, c2, b, d = args
+                (d0, d1, d2), disps = jax.vmap(scan64)((c0, c1, c2), b, d)
                 return (d0, d1, d2, disps)
 
-            d0, d1, d2, disps = jax.lax.map(chunk, (cs[0], cs[1], cs[2], bs))
+            d0, d1, d2, disps = jax.lax.map(
+                chunk, (cs[0], cs[1], cs[2], bs, dense))
             return (tuple(d.reshape(S64, -1) for d in (d0, d1, d2)),
                     disps.reshape(S64, W64, -1))
+
+        def vscan64(carry, blobs):
+            return vscan64_stage(carry, blobs, vdensify64(blobs))
         carry64 = tuple(jnp.zeros((S64, geom64.total_size), jnp.uint8)
                         for _ in range(3))
         # Warm both ring slots first: 64 fresh parsers fault in ~25 MB

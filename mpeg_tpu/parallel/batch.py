@@ -265,17 +265,68 @@ def pack_plans_blob(plans, geom: FrameGeometry, window: int,
                    | (plan.src_sel.astype(np.uint8) << 6))
         is_ref = ptype in (PICTURE_TYPE_INTRA, PICTURE_TYPE_PREDICTIVE)
         flags[w] = (1 if is_ref else 0) | 2
+    # Pad records: value 0 at the LAST dense index keeps the pools
+    # ascending end to end (device scatter ABI: indices_are_sorted;
+    # plan_pool_records emits ascending flat indices per picture and
+    # window bases grow, so the real records are already sorted).
+    dense_last = window * mb * 6 * 64 - 1
+    v["main_idx"][nm:] = dense_last
+    v["esc_idx"][ne:] = dense_last
     return blob
 
 
-def unpack_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
-                    ke: int):
-    """Unpack one window blob on device -> dense scan inputs dict.
+def densify_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
+                     ke: int):
+    """Stage-A device unpack: scatter-add the coefficient pools into the
+    FLAT dense tensor int32[window*mb*6*64] (pad records add value 0 at
+    the last dense index — harmless).
 
-    One scatter-add densifies the whole window's coefficients (pad
-    records add value 0 at index 0 — harmless); everything else is
-    bitcast + shift arithmetic that XLA fuses away.
+    Main + escape lanes merge into ONE scatter (integer adds commute),
+    and the result stays flat: on the TPU toolchain a large scatter
+    compiles in seconds ONLY as a whole module with a flat result —
+    reshaping the scatter output or co-compiling unrelated outputs in
+    the same module sends a compiler pass superlinear (measured at
+    km=2^20: flat-alone ~15 s, any composition ~400 s).  The blob scan
+    decoder therefore dispatches this as its own executable and feeds
+    the result to the scatter-free scan stage (make_blob_scan_decoder).
     """
+    import jax.numpy as jnp
+    from jax import lax
+
+    offs, _ = blob_layout(geom, window, km, ke)
+    mb = geom.mb_size
+
+    def get(name, dtype, n):
+        off, _size = offs[name]
+        width = jnp.dtype(dtype).itemsize
+        raw = blob[off:off + n * width]
+        return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
+
+    midx = get("main_idx", jnp.uint32, km).astype(jnp.int32)
+    mval = get("main_val", jnp.int16, km).astype(jnp.int32)
+    contrib = mval * jnp.asarray(_PREMULT)[midx & 63]
+    eidx = get("esc_idx", jnp.uint32, ke).astype(jnp.int32)
+    eval_ = get("esc_val", jnp.int32, ke)
+    # Blob ABI: each pool's indices are ascending (the emitters walk
+    # blocks and positions in order; pads carry value 0 at the last
+    # dense index), so both scatters declare indices_are_sorted — the
+    # sorted TPU scatter lowering is ~8x cheaper to compile and run
+    # than the general one at these sizes.  Two independent scatters
+    # summed, NOT one .at[].add().at[].add() chain (the chained form is
+    # another compile-time pathology).
+    n = window * mb * 6 * 64
+    main = jnp.zeros(n, jnp.int32).at[midx].add(
+        contrib, indices_are_sorted=True)
+    esc = jnp.zeros(n, jnp.int32).at[eidx].add(
+        eval_, indices_are_sorted=True)
+    return main + esc
+
+
+def unpack_blob_meta(blob, geom: FrameGeometry, window: int, km: int,
+                     ke: int):
+    """Stage-B device unpack: every scan input EXCEPT the dense
+    coefficients (those come from densify_blob_jax, compiled apart —
+    see its docstring).  Bitcast + shift arithmetic that XLA fuses."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -304,16 +355,7 @@ def unpack_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
     intra_blk = (misc[:, :, None] >> jnp.arange(6, dtype=jnp.int32)) & 1
     src_sel = misc >> 6
 
-    midx = get("main_idx", jnp.uint32, km).astype(jnp.int32)
-    mval = get("main_val", jnp.int16, km).astype(jnp.int32)
-    contrib = mval * jnp.asarray(_PREMULT)[midx & 63]
-    eidx = get("esc_idx", jnp.uint32, ke).astype(jnp.int32)
-    eval_ = get("esc_val", jnp.int32, ke)
-    dense = jnp.zeros(window * mb * 6 * 64, jnp.int32) \
-        .at[midx].add(contrib).at[eidx].add(eval_)
-
     return {
-        "coeffs": dense.reshape(window, mb, 6, 64),
         "nblocks": nblocks,
         "intra_blk": intra_blk,
         "src_sel": src_sel,
@@ -322,6 +364,22 @@ def unpack_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
         "is_ref": flags & 1,
         "is_noop": 1 - ((flags >> 1) & 1),
     }
+
+
+def unpack_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
+                    ke: int):
+    """Unpack one window blob on device -> dense scan inputs dict
+    (single-module form: densify + metadata together).
+
+    This is the readable one-dispatch oracle, used by the CPU-mesh
+    sharded decoder and tests.  Production single-chip decode splits it
+    into two executables instead (make_blob_scan_decoder) because the
+    TPU toolchain's scatter passes go superlinear when the big scatter
+    shares a module with anything else — see densify_blob_jax."""
+    out = unpack_blob_meta(blob, geom, window, km, ke)
+    out["coeffs"] = densify_blob_jax(blob, geom, window, km, ke) \
+        .reshape(window, geom.mb_size, 6, 64)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -418,23 +476,39 @@ def make_dense_scan_decoder(geom: FrameGeometry, emit_rgba: bool = False):
 def make_blob_scan_decoder(geom: FrameGeometry, window: int, km: int,
                            ke: int, emit_rgba: bool = False,
                            recon: str = "auto"):
-    """Jitted scan over one window blob (the production transport):
+    """Scan over one window blob (the production transport):
     (carry, blob uint8[total_bytes]) -> (carry, displays).
 
     carry = (current, forward, backward) flat uint8 frame buffers;
     displays[t] = the frame the reference's Decode() would return after
     picture t.  Compiles once per (geometry, window, capacity buckets).
     The carry is donated — steady-state decode re-uses its buffers.
+
+    Two executables per window, dispatched back-to-back (they overlap
+    on device; no host sync between them): the coefficient densify
+    scatter compiles standalone (flat result — any larger module
+    context around the big scatter is a known TPU compile-time
+    pathology, see densify_blob_jax), then the scatter-free scan stage.
     """
     import jax
 
     step = make_scan_step(geom, emit_rgba, recon)
+    mb = geom.mb_size
 
-    def scan_decode(carry, blob):
-        xs = unpack_blob_jax(blob, geom, window, km, ke)
+    @jax.jit
+    def densify(blob):
+        return densify_blob_jax(blob, geom, window, km, ke)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def scan_stage(carry, blob, dense):
+        xs = unpack_blob_meta(blob, geom, window, km, ke)
+        xs["coeffs"] = dense.reshape(window, mb, 6, 64)
         return jax.lax.scan(step, carry, xs)
 
-    return jax.jit(scan_decode, donate_argnums=0)
+    def scan_decode(carry, blob):
+        return scan_stage(carry, blob, densify(blob))
+
+    return scan_decode
 
 
 # Backwards-compatible alias (pre-blob-v2 name).

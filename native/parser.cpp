@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC parser.cpp -o libmpegtpu.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -380,6 +381,12 @@ struct VideoParser {
     bool plan_pending = false;          // prepared picture awaiting emit
     std::vector<int32_t> coded_stamp;   // per-block generation stamp
     std::vector<int32_t> coded_blocks;  // block ids (mb*6+b) this picture
+    // Emit ABI: pool records leave vp_blob_emit in ascending flat-index
+    // order (the device scatter is declared indices_are_sorted).  Blocks
+    // code in ascending bid on well-formed streams; an out-of-order
+    // slice (corrupt stream) clears this and emit sorts coded_blocks.
+    bool blocks_monotone = true;
+    int32_t last_coded_bid = -1;
     std::vector<uint16_t> blk_main, blk_esc;
     int64_t pool_main = 0, pool_esc = 0;
     struct RecSeg {
@@ -410,6 +417,8 @@ struct VideoParser {
         if (coded_stamp[bid] != generation) {
             coded_stamp[bid] = generation;
             coded_blocks.push_back(bid);
+            if (bid < last_coded_bid) blocks_monotone = false;
+            last_coded_bid = bid;
         } else {
             pool_main -= blk_main[bid];
             pool_esc -= blk_esc[bid];
@@ -526,6 +535,8 @@ struct VideoParser {
         }
         dirty_mbs.clear();
         coded_blocks.clear();
+        blocks_monotone = true;
+        last_coded_bid = -1;
         rec_segs.clear();
         rec_midx.clear();
         rec_mval.clear();
@@ -1590,6 +1601,8 @@ void vp_rewind(void* p) {
     }
     v->dirty_mbs.clear();
     v->coded_blocks.clear();
+    v->blocks_monotone = true;
+    v->last_coded_bid = -1;
     v->rec_segs.clear();
     v->rec_midx.clear();
     v->rec_mval.clear();
@@ -1661,8 +1674,17 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
     auto* v = (VideoParser*)p;
     int64_t nm = 0, ne = 0;
     uint32_t ib = (uint32_t)idx_base;
-    for (const auto& s : v->rec_segs) {
-        if (s.dead) continue;
+    // Emit in ascending-bid order so the record streams are sorted by
+    // flat index (device scatter ABI: indices_are_sorted; within a
+    // block note_coded_block already scans positions 0..63 in order).
+    // Well-formed streams code blocks in ascending bid, so the sort
+    // only ever runs for corrupt streams with out-of-order slices.
+    if (!v->blocks_monotone)
+        std::sort(v->coded_blocks.begin(), v->coded_blocks.end());
+    for (int bid : v->coded_blocks) {
+        int si = v->seg_of[bid];
+        if (si < 0) continue;   // re-predicted/re-touched: latest only
+        const auto& s = v->rec_segs[si];
         const uint32_t* mi = v->rec_midx.data() + s.m_start;
         const int16_t* mv = v->rec_mval.data() + s.m_start;
         for (int k = 0; k < s.m_len; k++) {
@@ -1678,8 +1700,16 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
         }
         ne += s.e_len;
     }
-    for (; nm < v->pool_main; nm++) { main_idx[nm] = 0; main_val[nm] = 0; }
-    for (; ne < v->pool_esc; ne++) { esc_idx[ne] = 0; esc_val[ne] = 0; }
+    // Defensive pads (pool counts are exact, so these never run): value
+    // 0 at the last written index keeps the sorted-stream invariant.
+    for (; nm < v->pool_main; nm++) {
+        main_idx[nm] = nm > 0 ? main_idx[nm - 1] : ib;
+        main_val[nm] = 0;
+    }
+    for (; ne < v->pool_esc; ne++) {
+        esc_idx[ne] = ne > 0 ? esc_idx[ne - 1] : ib;
+        esc_val[ne] = 0;
+    }
 
     for (int mb : v->dirty_mbs) {
         mvh[mb] = (int16_t)v->own_mvh[mb];
@@ -1704,6 +1734,8 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
     bool is_ref = v->last_ptype == PIC_I || v->last_ptype == PIC_P;
     v->dirty_mbs.clear();
     v->coded_blocks.clear();
+    v->blocks_monotone = true;
+    v->last_coded_bid = -1;
     v->rec_segs.clear();     // capacity kept; seg_of entries are stale
     v->rec_midx.clear();     // but gated by coded_stamp != generation
     v->rec_mval.clear();
@@ -1762,13 +1794,16 @@ static int64_t blob_window_impl(
         ne += ce;
         w++;
     }
-    // Zero everything after what this call wrote: record-pool tails
-    // (value 0 at index 0 is a no-op on the device scatter, but stale
-    // indices/values from a recycled buffer would not be) and the
-    // unemitted picture slots (flags bit1 = 0 -> is_noop).
-    std::memset(main_idx + nm, 0, (km - nm) * sizeof(uint32_t));
+    // Overwrite everything after what this call wrote: record-pool
+    // tails (stale indices/values from a recycled buffer would not be
+    // no-ops) and the unemitted picture slots (flags bit1 = 0 ->
+    // is_noop).  Pad records carry value 0 at the LAST dense index so
+    // the whole pool stays ascending (device scatter ABI:
+    // indices_are_sorted; a value-0 add is a no-op wherever it lands).
+    uint32_t dense_last = (uint32_t)(max_pics * mb * 6 * 64 - 1);
+    std::fill(main_idx + nm, main_idx + km, dense_last);
     std::memset(main_val + nm, 0, (km - nm) * sizeof(int16_t));
-    std::memset(esc_idx + ne, 0, (ke - ne) * sizeof(uint32_t));
+    std::fill(esc_idx + ne, esc_idx + ke, dense_last);
     std::memset(esc_val + ne, 0, (ke - ne) * sizeof(int32_t));
     if (w < max_pics) {
         std::memset(flags + w, 0, (max_pics - w) * sizeof(int32_t));

@@ -305,3 +305,61 @@ def test_native_reset_matches_fresh_parser(mpeg1video_path):
         outs.append({k: a.copy() for k, a in v.items()})
     for k in outs[0]:
         np.testing.assert_array_equal(outs[0][k], outs[1][k], err_msg=k)
+
+
+def test_native_blob_records_sorted(mpeg1video_path):
+    """Scatter ABI invariant: every window's main and escape pools leave
+    the native emitter in ascending flat-index order, pads included
+    (densify_blob_jax declares indices_are_sorted on both scatters).
+    The fixture's damaged regions exercise the junk-tolerance paths, so
+    this also covers re-touched blocks and re-predicted MBs."""
+    from mpeg_tpu.parallel.batch import (
+        blob_layout, blob_views, pack_plans_blob, pool_bucket,
+    )
+
+    data = open(mpeg1video_path, "rb").read()
+    window = 16
+    p = native.NativeVideoParser(data)
+    geom = p.geom()
+    mb = geom.mb_size
+    km, ke = pool_bucket(mb * 6 * 64 * window // 8, 4096), pool_bucket(512, 64)
+    _, total = blob_layout(geom, window, km, ke)
+
+    # Native windows: recycled (garbage-filled) buffer, whole stream.
+    blob = np.full(total, 0x5A, np.uint8)
+    v = blob_views(blob, geom, window, km, ke)
+    types = np.empty(window, np.int32)
+    plans = []   # mirror with the python packer below
+    oracle = native.NativeVideoParser(data)
+    windows = 0
+    while True:
+        n, nm, ne, pending = p.blob_window(
+            0, window, km, ke, 0, 0,
+            v["main_idx"], v["main_val"], v["esc_idx"], v["esc_val"],
+            v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
+            v["flags"], types)
+        assert pending == 0
+        if n == 0:
+            break
+        windows += 1
+        for name in ("main_idx", "esc_idx"):
+            idx = v[name].astype(np.int64)
+            assert (np.diff(idx) >= 0).all(), \
+                f"{name} not ascending in window {windows}"
+            assert idx[-1] == window * mb * 6 * 64 - 1 or \
+                (name == "main_idx" and nm == km) or \
+                (name == "esc_idx" and ne == ke), \
+                f"{name} pad must sit at the last dense index"
+        if n < window:
+            break
+    assert windows >= 2   # the fixture spans multiple windows
+
+    # Python packer obeys the same invariant.
+    while (item := oracle.parse_next_plan()) is not None:
+        plans.append(item)
+    pb = pack_plans_blob(plans[:window], geom, window, km, ke)
+    pv = blob_views(pb, geom, window, km, ke)
+    for name in ("main_idx", "esc_idx"):
+        idx = pv[name].astype(np.int64)
+        assert (np.diff(idx) >= 0).all()
+        assert idx[-1] == window * mb * 6 * 64 - 1
