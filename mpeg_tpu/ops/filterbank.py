@@ -465,7 +465,10 @@ def make_synthesize_frame_jax():
     import jax.numpy as jnp
     from jax import lax
 
-    d_win = jnp.asarray(_d_window_np())
+    # numpy on purpose: a device-resident closure constant forces a
+    # d2h fetch at lowering time (the tunnel's cold d2h can stall
+    # minutes); an np constant embeds straight from host memory.
+    d_win = _d_window_np()
 
     def mac(u, dd, vv):
         return u + dd[None, :] * vv
@@ -567,7 +570,10 @@ def make_synthesize_parallel_jax():
     import jax
     import jax.numpy as jnp
 
-    d_win = jnp.asarray(_d_window_np())
+    # numpy on purpose: a device-resident closure constant forces a
+    # d2h fetch at lowering time (the tunnel's cold d2h can stall
+    # minutes); an np constant embeds straight from host memory.
+    d_win = _d_window_np()
     taps = _residue_taps()
 
     @jax.jit
