@@ -715,7 +715,8 @@ def main():
 
         def longform_pass(max_windows=None):
             dec = BatchVideoDecoder(lf_data, window=WINDOW, emit_rgba=True,
-                                    pool_buckets=(lf_km, lf_ke))
+                                    pool_buckets=(lf_km, lf_ke),
+                                    prefetch=True)
             n = w = 0
             t0 = time.time()
             last = None

@@ -537,7 +537,7 @@ class BatchVideoDecoder:
     def __init__(self, buf, window: int = None, transport: str = None,
                  use_native: bool = None, stats=None, config=None,
                  emit_rgba: bool = False, streaming: bool = False,
-                 pool_buckets: tuple = None):
+                 pool_buckets: tuple = None, prefetch: bool = False):
         """`buf` is a Buffer (Python parse) or bytes (native parse).
 
         use_native: parse with the C++ parser (requires blob transport);
@@ -554,6 +554,12 @@ class BatchVideoDecoder:
         pool_buckets: optional (km, ke) initial pool capacities — size
         them from a discovery sweep to avoid mid-decode bucket growth
         (each growth recompiles the window scan).
+        prefetch: parse/pack the next window on a background thread
+        while the device consumes the current one — decode_window is
+        then bound by max(parse, h2d+dispatch) instead of their sum
+        (the native parser releases the GIL; the Python-parse path
+        gains little).  Output order and values are identical.  Not
+        available with streaming=True (feed() drives the parse there).
         Unset arguments fall back to `config` (default config.DEFAULT).
         """
         from ..config import DEFAULT
@@ -619,6 +625,12 @@ class BatchVideoDecoder:
             km, ke = pool_buckets
             self._km = pool_bucket(km, _MIN_KM)
             self._ke = pool_bucket(max(ke, 1), _MIN_KE)
+        if prefetch and streaming:
+            raise ValueError("prefetch=True requires streaming=False "
+                             "(feed() drives the parse in streaming mode)")
+        self._prefetch = prefetch
+        self._pf_queue = None
+        self._pf_thread = None
 
     @classmethod
     def at_time(cls, data: bytes, seek_time: float, **kwargs):
@@ -753,13 +765,14 @@ class BatchVideoDecoder:
         # vs shrunken data), so the streaming flag is authoritative.
         return self._ended or self.video.buf.has_ended()
 
-    def _ensure_device_state(self):
+    def _ensure_device_state(self, caps=None):
         import jax.numpy as jnp
-        caps = (self._km, self._ke) if self.transport == "blob" else None
+        if caps is None:
+            caps = (self._km, self._ke) if self.transport == "blob" else None
         if self._scan is None or self._scan_caps != caps:
             if self.transport == "blob":
                 self._scan = make_blob_scan_decoder(
-                    self.geom, self.window, self._km, self._ke,
+                    self.geom, self.window, caps[0], caps[1],
                     emit_rgba=self.emit_rgba)
             else:
                 self._scan = make_dense_scan_decoder(
@@ -833,12 +846,13 @@ class BatchVideoDecoder:
             if out or not parsed:
                 return out
 
-    def _decode_window_once(self):
-        """One window; returns (displays, pictures_parsed)."""
+    def _parse_stage(self):
+        """Parse + pack one window (runs on the prefetch thread when
+        enabled).  Returns (blob, plans, types, caps, t_parse); caps
+        pins the pool buckets the blob was packed with, so the consumer
+        compiles against the right layout even if a later window has
+        already grown the sticky buckets."""
         import time
-        if not self._has_header():
-            return [], 0
-
         t0 = time.perf_counter()
         if self.native is not None:
             blob, types = self._native_window_blob()
@@ -855,7 +869,47 @@ class BatchVideoDecoder:
                 self._ke = max(self._ke, pool_bucket(ne, _MIN_KE))
                 blob = pack_plans_blob(plans, self.geom, self.window,
                                        self._km, self._ke, records=records)
-        t_parse = time.perf_counter() - t0
+        caps = (self._km, self._ke) if self.transport == "blob" else None
+        return blob, plans, types, caps, time.perf_counter() - t0
+
+    def _next_parsed(self):
+        """The next parsed window — from the prefetch queue (started
+        lazily; depth 2) or parsed inline."""
+        if not self._prefetch:
+            return self._parse_stage()
+        import queue
+        import threading
+        if self._pf_thread is None:
+            self._pf_queue = queue.Queue(maxsize=2)
+
+            def producer():
+                while True:
+                    try:
+                        item = self._parse_stage()
+                    except BaseException as e:   # noqa: BLE001
+                        self._pf_queue.put(e)
+                        return
+                    self._pf_queue.put(item)
+                    if not item[2]:   # no types: parse exhausted
+                        return
+
+            self._pf_thread = threading.Thread(target=producer,
+                                               daemon=True)
+            self._pf_thread.start()
+        item = self._pf_queue.get()
+        if isinstance(item, BaseException):
+            raise item
+        if not item[2] and self._pf_thread is not None:
+            self._pf_thread.join()
+            self._pf_thread = None   # EOS consumed; flush path follows
+        return item
+
+    def _decode_window_once(self):
+        """One window; returns (displays, pictures_parsed)."""
+        if not self._has_header():
+            return [], 0
+
+        blob, plans, types, caps, t_parse = self._next_parsed()
 
         if not types:
             # End of stream: flush the pending reference frame.
@@ -869,7 +923,8 @@ class BatchVideoDecoder:
                 return [flush], 0
             return [], 0
 
-        self._ensure_device_state()
+        import time
+        self._ensure_device_state(caps)
         t0 = time.perf_counter()
         if self.transport == "blob":
             self._carry, disps = self._scan(self._carry, blob)

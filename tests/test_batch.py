@@ -323,3 +323,25 @@ def test_parse_thread_pool_parity(mpeg1video_path):
         list(pool.map(lambda s: parse_stream(par, s, parsers[s]),
                       range(2)))
     np.testing.assert_array_equal(seq, par)
+
+
+def test_batch_decoder_prefetch_parity(mpeg1video_path):
+    """prefetch=True (background parse thread, depth-2 queue) must
+    reproduce the serial decode exactly — same frames, same golden,
+    including sticky pool-bucket growth mid-stream (the decoder starts
+    at the minimum buckets, so the fixture's first I-heavy window grows
+    them under the prefetch thread) and the end-of-stream flush."""
+    data = open(mpeg1video_path, "rb").read()
+    h = Fnv1a64()
+    frames = 0
+    dec = BatchVideoDecoder(data, window=16, prefetch=True)
+    while got := dec.decode_window():
+        for flat in got:
+            h.write(np.asarray(flat)[:dec.geom.frame_size].tobytes())
+            frames += 1
+    assert frames == 260
+    assert h.sum64() == GOLDEN_VIDEO_HASH
+
+    # streaming + prefetch is an explicit error, not a silent fallback
+    with pytest.raises(ValueError):
+        BatchVideoDecoder(b"", window=16, streaming=True, prefetch=True)
