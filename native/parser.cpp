@@ -557,8 +557,15 @@ struct VideoParser {
     }
 
     void compact() {
+        // Amortized: erase the consumed prefix only once it is both
+        // sizable and at least as large as the live tail.  Erasing
+        // every picture/frame/packet memmoves the whole remaining
+        // buffer each time — O(n^2) on large pre-fed sources (measured
+        // ~50% of 1080p long-form parse CPU).  This schedule is O(n)
+        // total while keeping memory bounded by ~2x the live data.
         int64_t byte_pos = br.bit >> 3;
-        if (byte_pos > 0) {
+        int64_t remaining = (int64_t)buf.size() - byte_pos;
+        if (byte_pos >= (64 << 10) && byte_pos >= remaining) {
             buf.erase(buf.begin(), buf.begin() + byte_pos);
             br.bit -= byte_pos << 3;
             sync();
@@ -1082,8 +1089,15 @@ struct AudioParser {
     void sync() { br.data = buf.data(); br.size = (int64_t)buf.size(); }
 
     void compact() {
+        // Amortized: erase the consumed prefix only once it is both
+        // sizable and at least as large as the live tail.  Erasing
+        // every picture/frame/packet memmoves the whole remaining
+        // buffer each time — O(n^2) on large pre-fed sources (measured
+        // ~50% of 1080p long-form parse CPU).  This schedule is O(n)
+        // total while keeping memory bounded by ~2x the live data.
         int64_t byte_pos = br.bit >> 3;
-        if (byte_pos > 0) {
+        int64_t remaining = (int64_t)buf.size() - byte_pos;
+        if (byte_pos >= (64 << 10) && byte_pos >= remaining) {
             buf.erase(buf.begin(), buf.begin() + byte_pos);
             br.bit -= byte_pos << 3;
             sync();
@@ -1317,8 +1331,15 @@ struct Demuxer {
     void sync() { br.data = buf.data(); br.size = (int64_t)buf.size(); }
 
     void compact() {
+        // Amortized: erase the consumed prefix only once it is both
+        // sizable and at least as large as the live tail.  Erasing
+        // every picture/frame/packet memmoves the whole remaining
+        // buffer each time — O(n^2) on large pre-fed sources (measured
+        // ~50% of 1080p long-form parse CPU).  This schedule is O(n)
+        // total while keeping memory bounded by ~2x the live data.
         int64_t byte_pos = br.bit >> 3;
-        if (byte_pos > 0) {
+        int64_t remaining = (int64_t)buf.size() - byte_pos;
+        if (byte_pos >= (64 << 10) && byte_pos >= remaining) {
             buf.erase(buf.begin(), buf.begin() + byte_pos);
             br.bit -= byte_pos << 3;
             sync();
