@@ -755,9 +755,23 @@ def main():
         stalls right after the heavy video work."""
         import subprocess
         audio_code = (
-            "import sys, time; sys.path.insert(0, %r)\n"
+            "import sys, time, threading; sys.path.insert(0, %r)\n"
+            "import numpy as np\n"
             "import jax\n"
             "jax.config.update('jax_compilation_cache_dir', %r)\n"
+            # The audio product is host PCM, so a stalled d2h direction
+            # (seen for hours on this tunnel) blocks the whole stage;
+            # probe it with a tiny fetch and bail fast instead of
+            # eating the outer watchdog.
+            "x = jax.device_put(np.zeros(4096, np.uint8))\n"
+            "jax.block_until_ready(x)\n"
+            "ok = []\n"
+            "t = threading.Thread(target=lambda: ok.append(np.asarray(x)),\n"
+            "                     daemon=True)\n"
+            "t.start(); t.join(20)\n"
+            "if not ok:\n"
+            "    print('SKIP: d2h stalled (4 KiB fetch > 20 s)')\n"
+            "    sys.exit(0)\n"
             "from mpeg_tpu.parallel import BatchAudioDecoder\n"
             "adata = open(%r, 'rb').read()\n"
             "out = []\n"
