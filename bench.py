@@ -749,45 +749,60 @@ def main():
 
     def secondary_audio():
         """MP2 audio: Msamples/s through native parse + batched
-        filterbank, f32 (host-normalized golden lane) and s16
-        (device-quantized, half the d2h).  Runs in a SUBPROCESS with a
-        hard timeout: in-process this stage has hit multi-minute tunnel
-        stalls right after the heavy video work."""
+        filterbank.  Device-resident serving output (out_device=True,
+        PCM stays in HBM) measures first — it needs no d2h, so it
+        reports even when the tunnel's d2h direction is down; the
+        host-PCM lanes (f32 golden / s16 half-bytes) run only after a
+        d2h probe passes.  Runs in a SUBPROCESS with a hard timeout:
+        in-process this stage has hit multi-minute tunnel stalls right
+        after the heavy video work."""
         import subprocess
         audio_code = (
             "import sys, time, threading; sys.path.insert(0, %r)\n"
             "import numpy as np\n"
             "import jax\n"
             "jax.config.update('jax_compilation_cache_dir', %r)\n"
-            # The audio product is host PCM, so a stalled d2h direction
-            # (seen for hours on this tunnel) blocks the whole stage;
-            # probe it with a tiny fetch and bail fast instead of
-            # eating the outer watchdog.
+            "from mpeg_tpu.parallel import BatchAudioDecoder\n"
+            "adata = open(%r, 'rb').read()\n"
+            "out = []\n"
+            "def one_pass(fmt, dev):\n"
+            "    dec = BatchAudioDecoder(adata, window=64, out_format=fmt,\n"
+            "                            out_device=dev)\n"
+            "    t0 = time.time(); total = 0; last = None\n"
+            "    while (pcm := dec.decode_window()) is not None:\n"
+            "        total += pcm.size // 2; last = pcm\n"
+            "    jax.block_until_ready(last)\n"
+            "    return total / (time.time() - t0) / 1e6\n"
+            # First pass warms every window shape (the tail window's
+            # partial-n executables compile on first sight); report the
+            # steady-state second pass.
+            "def run(fmt, dev):\n"
+            "    one_pass(fmt, dev)\n"
+            "    return one_pass(fmt, dev)\n"
+            "out.append(f'device-resident s16 {run(\"s16\", True):.2f} "
+            "| f32 {run(\"f32\", True):.2f} Msamples/s')\n"
+            # The host-PCM lanes d2h every window; probe the direction
+            # first (stalls of hours observed) and skip them cleanly.
             "x = jax.device_put(np.zeros(4096, np.uint8))\n"
             "jax.block_until_ready(x)\n"
             "ok = []\n"
             "t = threading.Thread(target=lambda: ok.append(np.asarray(x)),\n"
             "                     daemon=True)\n"
             "t.start(); t.join(20)\n"
-            "if not ok:\n"
-            "    print('SKIP: d2h stalled (4 KiB fetch > 20 s)')\n"
-            "    sys.exit(0)\n"
-            "from mpeg_tpu.parallel import BatchAudioDecoder\n"
-            "adata = open(%r, 'rb').read()\n"
-            "out = []\n"
-            "for fmt in ('f32', 's16'):\n"
-            "    BatchAudioDecoder(adata, window=64,\n"
-            "                      out_format=fmt).decode_window()\n"
-            "    dec = BatchAudioDecoder(adata, window=64, out_format=fmt)\n"
-            "    t0 = time.time(); total = 0\n"
-            "    while (pcm := dec.decode_window()) is not None:\n"
-            "        total += pcm.size // 2\n"
-            "    dt = time.time() - t0\n"
-            "    out.append(f'{fmt} {total / dt / 1e6:.2f} Msamples/s')\n"
+            "if ok:\n"
+            "    out.append(f'host-pcm f32 {run(\"f32\", False):.2f} "
+            "| s16 {run(\"s16\", False):.2f} Msamples/s')\n"
+            "else:\n"
+            "    out.append('host-pcm SKIPPED (d2h stalled: 4 KiB "
+            "fetch > 20 s)')\n"
             # platform in the output: on exclusive-TPU hosts the child
             # may only get CPU while the parent holds the chip — say so.
             "print(' | '.join(out) + "
-            "f' [{jax.devices()[0].platform}]')\n"
+            "f' [{jax.devices()[0].platform}]', flush=True)\n"
+            # Hard exit: a probe thread stuck in a stalled d2h makes
+            # normal interpreter teardown abort (SIGABRT in the PJRT
+            # plugin); the results are already flushed.
+            "import os; os._exit(0)\n"
         ) % (REPO, cache_dir,
              os.path.join(REPO, "tests", "testdata", "test.mp2"))
         try:

@@ -420,6 +420,25 @@ def s16_from_u(u, xp):
 
 
 @functools.lru_cache(maxsize=None)
+def make_finalize_jax():
+    """Device-side finalize_np: normalization via the exact-IEEE
+    constant-divisor kernel (div_out_scale_exact — TPU's f32 divide is
+    a reciprocal approximation, so the plain '/' is NOT used) +
+    interleave, for device-resident serving output
+    ([.., 36, 2, 32] f32 -> [.., 2304])."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def finalize(u):
+        s = div_out_scale_exact(u, jnp)
+        shape = u.shape[:-3] + (-1,)
+        return jnp.swapaxes(s, -1, -2).reshape(shape)
+
+    return finalize
+
+
+@functools.lru_cache(maxsize=None)
 def make_synthesize_parallel_s16_jax():
     """The parallel synthesis fused with on-device S16 quantization:
     (samples [T,2,32] i32, hist) -> (s16 [T*64] int16, hist')."""

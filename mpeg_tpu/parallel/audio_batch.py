@@ -20,7 +20,8 @@ class BatchAudioDecoder:
 
     def __init__(self, data: bytes, window: int = 32,
                  use_native: bool = None, streaming: bool = False,
-                 stats=None, out_format: str = "f32"):
+                 stats=None, out_format: str = "f32",
+                 out_device: bool = False):
         """streaming: bytes arrive incrementally via feed(); call
         signal_end() at source exhaustion (decode_window returns the
         frames buffered so far in the meantime).
@@ -31,10 +32,16 @@ class BatchAudioDecoder:
         quotient) or "s16" (interleaved int16 quantized ON DEVICE with
         the bit-exact constant-divisor kernel, halving the d2h bytes —
         matches Samples.s16 / the reference's AudioS16 lane,
-        audio.go:401-407, exactly)."""
+        audio.go:401-407, exactly).
+        out_device: decode_window returns device-resident jax arrays
+        instead of numpy — no d2h at all; downstream device consumers
+        (mixing, resampling, encoding) read PCM straight from HBM.
+        Both formats stay bit-exact: the f32 normalization uses the
+        same exact-IEEE constant-divisor kernel as the S16 lane."""
         if out_format not in ("f32", "s16"):
             raise ValueError(f"unknown out_format {out_format!r}")
         self.out_format = out_format
+        self.out_device = out_device
         window = max(4, window - window % 4)   # parallel path needs 4n frames
         from .. import native as native_mod
         if use_native is None:
@@ -191,20 +198,26 @@ class BatchAudioDecoder:
         out, self._v = self._synth(
             jnp.asarray(samples.reshape(-1, 2, 32)), self._v)
         if self.out_format == "s16":
-            # Quantized + interleaved on device; d2h is int16.
-            pcm = np.asarray(out)[:n * 2304]
+            if self.out_device:
+                pcm = out[:n * 2304]   # device slice, no d2h
+            else:
+                # Quantized + interleaved on device; d2h is int16.
+                pcm = np.asarray(out)[:n * 2304]
+        elif self.out_device:
+            u = out.reshape(self.window, 36, 2, 32)
+            pcm = filterbank.make_finalize_jax()(u).reshape(-1)[:n * 2304]
         else:
             u = np.asarray(out).reshape(self.window, 36, 2, 32)[:n]
             pcm = filterbank.finalize_np(u).reshape(-1)
         if self.stats is not None:
-            self.stats.samples += pcm.size // 2
+            self.stats.samples += n * 1152
             self.stats.transfer_bytes += samples.nbytes
             self.stats.device_seconds += time.perf_counter() - t0
         return pcm
 
     def decode_all(self) -> np.ndarray:
         """Decode the whole stream to interleaved PCM (dtype per
-        out_format)."""
+        out_format; a device array when out_device=True)."""
         chunks = []
         while True:
             pcm = self.decode_window()
@@ -212,4 +225,8 @@ class BatchAudioDecoder:
                 break
             chunks.append(pcm)
         dtype = np.int16 if self.out_format == "s16" else np.float32
+        if self.out_device:
+            import jax.numpy as jnp
+            return jnp.concatenate(chunks) if chunks \
+                else jnp.zeros(0, dtype)
         return np.concatenate(chunks) if chunks else np.zeros(0, dtype)

@@ -212,3 +212,23 @@ def test_batch_audio_s16_device(mp2_path):
     got = BatchAudioDecoder(data, window=32, out_format="s16").decode_all()
     assert got.dtype == np.int16
     np.testing.assert_array_equal(got, want)
+
+
+def test_batch_audio_out_device(mp2_path):
+    """out_device=True returns device-resident jax arrays (no d2h on
+    the decode path) bit-identical to the host-returning paths for
+    BOTH formats — the f32 normalization must go through the
+    exact-IEEE constant-divisor kernel, not the TPU's approximate
+    f32 divide."""
+    import jax
+    from mpeg_tpu.parallel import BatchAudioDecoder
+
+    data = open(mp2_path, "rb").read()
+    for fmt in ("f32", "s16"):
+        host = BatchAudioDecoder(data, window=32,
+                                 out_format=fmt).decode_all()
+        dev = BatchAudioDecoder(data, window=32, out_format=fmt,
+                                out_device=True).decode_all()
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_array_equal(np.asarray(dev), host,
+                                      err_msg=fmt)
