@@ -73,6 +73,17 @@ class Frame:
         return self._np_flat()[s:s + g.chroma_size].reshape(
             g.chroma_height, g.chroma_width)
 
+    def ycbcr(self):
+        """Zero-copy planar YCbCr 4:2:0 view, display-cropped — the
+        Python analog of the reference's Frame.YCbCr() image.YCbCr
+        wrapper (video.go:26-35): returns (Y, Cb, Cr) numpy views of
+        the shared frame buffer sliced to the display rectangle (the
+        raw `y`/`cb`/`cr` properties keep the macroblock-rounded
+        storage sizes, as the reference's plane Data slices do)."""
+        return (self.y[:self.height, :self.width],
+                self.cb[:(self.height + 1) // 2, :(self.width + 1) // 2],
+                self.cr[:(self.height + 1) // 2, :(self.width + 1) // 2])
+
     def rgba(self) -> np.ndarray:
         """Display-size [height, width, 4] RGBA via the exact integer
         BT.601 conversion of Go's image/color (parity: Frame.RGBA)."""

@@ -127,3 +127,22 @@ def test_set_no_delay(mpeg1video_path):
             n += 1
         # no-delay: every picture displays; no end-of-stream flush delay
         assert n == len(want) == 261, f"{parser}: {n} frames"
+
+
+def test_frame_ycbcr_view(mpeg1video_path):
+    """Frame.ycbcr() mirrors the reference's Frame.YCbCr() (video.go:
+    26-35): display-cropped zero-copy plane views over the shared
+    buffer, while .y/.cb/.cr keep the macroblock-rounded storage."""
+    import mpeg_tpu as mpeg
+
+    buf = mpeg.Buffer(open(mpeg1video_path, "rb"))
+    buf.set_load_callback(buf.load_reader_callback)
+    v = mpeg.Video(buf)
+    f = v.decode()
+    y, cb, cr = f.ycbcr()
+    assert y.shape == (f.height, f.width)
+    assert cb.shape == ((f.height + 1) // 2, (f.width + 1) // 2)
+    assert cr.shape == cb.shape
+    # zero-copy: the views alias the frame buffer
+    assert y.base is not None
+    np.testing.assert_array_equal(y, f.y[:f.height, :f.width])
