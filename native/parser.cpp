@@ -351,6 +351,14 @@ struct VideoParser {
     // Leaks/clears mirror block_data exactly, so the blob encoder never
     // needs a division.
     int32_t block_quot[64] = {0};
+    // Occupancy bitmask over the scratch: bit p set <=> block_data[p]/
+    // block_quot[p] was written and not yet cleared.  Lets the emit
+    // scan and the end-of-block clear walk only the ~popcount occupied
+    // slots instead of all 64 (the full scan was the top parse hotspot
+    // on sparse film content).  Leak semantics are untouched: an
+    // invalid-run early return keeps values AND bits for the next
+    // block, exactly like the reference's persistent blockData.
+    uint64_t scratch_occ = 0;
 
     // plan outputs (borrowed numpy buffers, set per parse call)
     int32_t* coeffs = nullptr;     // [mb, 6, 64]
@@ -431,9 +439,10 @@ struct VideoParser {
         uint32_t m0 = (uint32_t)rec_midx.size();
         uint32_t e0 = (uint32_t)rec_eidx.size();
         uint32_t base = (uint32_t)bid * 64;
-        for (int j = 0; j < 64; j++) {
+        for (uint64_t occ = scratch_occ; occ; occ &= occ - 1) {
+            int j = __builtin_ctzll(occ);
             int32_t q = block_quot[j];
-            if (q == 0) continue;
+            if (q == 0) continue;   // e.g. a zero intra DC
             if (q >= -32768 && q <= 32767) {
                 rec_midx.push_back(base + (uint32_t)j);
                 rec_mval.push_back((int16_t)q);
@@ -520,6 +529,7 @@ struct VideoParser {
         dc_pred[0] = dc_pred[1] = dc_pred[2] = 0;
         std::memset(block_data, 0, sizeof(block_data));
         std::memset(block_quot, 0, sizeof(block_quot));
+        scratch_occ = 0;
         // Restore the all-zero plan invariant for MBs an abandoned
         // (prepared-but-unemitted) picture touched.
         if (!own_sel.empty()) {
@@ -685,6 +695,7 @@ struct VideoParser {
             }
             dc_pred[plane_index] = block_data[0];
             block_quot[0] = block_data[0] * 8;
+            scratch_occ |= 1;
             // *256, not <<(3+5): the junk-stream DC can be negative, and
             // Go's shift semantics are multiplication (video.go:668).
             block_data[0] *= 1 << (3 + 5);
@@ -740,6 +751,7 @@ struct VideoParser {
 
             block_quot[pos] = level;
             block_data[pos] = level * PREMULTIPLIER[pos];
+            scratch_occ |= 1ull << pos;
         }
 
         if (mb_address >= 0 && mb_address < mb_size) {
@@ -755,13 +767,21 @@ struct VideoParser {
             nblocks[mb_address * 6 + block] = n;
             intra_blk[mb_address * 6 + block] = mb_intra ? 1 : 0;
         }
-        // Partial clear exactly like the reference (video.go:777,790-796).
+        // Partial clear exactly like the reference (video.go:777,790-796):
+        // DC-only blocks clear slot 0 only (earlier leaks persist); full
+        // blocks clear everything -- walking the occupied bits writes
+        // the same zeros the memsets did.
         if (n == 1) {
             block_data[0] = 0;
             block_quot[0] = 0;
+            scratch_occ &= ~1ull;
         } else {
-            std::memset(block_data, 0, sizeof(block_data));
-            std::memset(block_quot, 0, sizeof(block_quot));
+            for (uint64_t occ = scratch_occ; occ; occ &= occ - 1) {
+                int j = __builtin_ctzll(occ);
+                block_data[j] = 0;
+                block_quot[j] = 0;
+            }
+            scratch_occ = 0;
         }
     }
 
