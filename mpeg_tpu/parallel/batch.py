@@ -881,6 +881,7 @@ class BatchVideoDecoder:
         import threading
         if self._pf_thread is None:
             self._pf_queue = queue.Queue(maxsize=2)
+            self._pf_stop = False
 
             def producer():
                 while True:
@@ -889,7 +890,16 @@ class BatchVideoDecoder:
                     except BaseException as e:   # noqa: BLE001
                         self._pf_queue.put(e)
                         return
-                    self._pf_queue.put(item)
+                    # Bounded put so close() can stop a producer whose
+                    # consumer went away with the queue full.
+                    while True:
+                        if self._pf_stop:
+                            return
+                        try:
+                            self._pf_queue.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            pass
                     if not item[2]:   # no types: parse exhausted
                         return
 
@@ -901,8 +911,27 @@ class BatchVideoDecoder:
             raise item
         if not item[2] and self._pf_thread is not None:
             self._pf_thread.join()
-            self._pf_thread = None   # EOS consumed; flush path follows
+            self._pf_thread = None
+            # EOS consumed: parse inline from here on (the flush path
+            # and any post-EOS polling must not respawn threads).
+            self._prefetch = False
         return item
+
+    def close(self) -> None:
+        """Stop the prefetch thread (no-op without prefetch=True).
+        Call when abandoning a decoder mid-stream; a decoder read to
+        end of stream shuts its thread down by itself."""
+        if self._pf_thread is not None:
+            self._pf_stop = True
+            import queue
+            while self._pf_thread.is_alive():
+                try:
+                    self._pf_queue.get_nowait()
+                except queue.Empty:
+                    pass
+                self._pf_thread.join(timeout=0.1)
+            self._pf_thread = None
+        self._prefetch = False
 
     def _decode_window_once(self):
         """One window; returns (displays, pictures_parsed)."""

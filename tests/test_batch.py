@@ -345,3 +345,30 @@ def test_batch_decoder_prefetch_parity(mpeg1video_path):
     # streaming + prefetch is an explicit error, not a silent fallback
     with pytest.raises(ValueError):
         BatchVideoDecoder(b"", window=16, streaming=True, prefetch=True)
+
+
+def test_batch_decoder_prefetch_close(mpeg1video_path):
+    """close() stops a prefetch producer abandoned mid-stream (even
+    with the queue full), and post-EOS polling parses inline instead of
+    respawning threads."""
+    import threading
+
+    data = open(mpeg1video_path, "rb").read()
+    dec = BatchVideoDecoder(data, window=16, prefetch=True)
+    assert dec.decode_window()          # producer running, queue filling
+    before = threading.active_count()
+    dec.close()
+    assert dec._pf_thread is None
+    assert threading.active_count() <= before
+    # a closed decoder keeps working (inline parse), same results
+    h = Fnv1a64()
+    n = 0
+    dec2 = BatchVideoDecoder(data, window=16, prefetch=True)
+    while got := dec2.decode_window():
+        for flat in got:
+            h.write(np.asarray(flat)[:dec2.geom.frame_size].tobytes())
+            n += 1
+    assert n == 260 and h.sum64() == GOLDEN_VIDEO_HASH
+    assert dec2._pf_thread is None      # EOS shut the producer down
+    assert not dec2._prefetch           # post-EOS polling stays inline
+    assert dec2.decode_window() == []
