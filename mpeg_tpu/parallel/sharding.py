@@ -64,6 +64,12 @@ def make_sharded_blob_decoder(geom: FrameGeometry, mesh: Mesh, window: int,
     sharded over the mesh; carry buffers [S, total_size] donated.
 
     decode(carry, blobs) -> (carry', displays [S, T, total], decoded_px).
+
+    Compiles the FUSED unpack+scan in one executable — fine on CPU
+    meshes (tests/dryrun).  On real TPU pods with large pool buckets,
+    split the densify scatter into its own shard_map first (the fused
+    form hits the TPU compile-time pathology documented at
+    batch.densify_blob_jax; the single-chip decoder already splits).
     """
     step = make_scan_step(geom)
 
