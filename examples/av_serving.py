@@ -47,18 +47,22 @@ def main():
     while (pcm := audio.decode_window()) is not None:
         samples += pcm.size // 2      # int16 interleaved, device-resident
         last_pcm = pcm
-    jax.block_until_ready((last_frame, last_pcm))
+    jax.block_until_ready([x for x in (last_frame, last_pcm)
+                           if x is not None])
     dt = time.time() - t0
 
     print(f"{frames} RGBA frames + {samples} stereo samples decoded "
           f"in {dt:.2f}s — all output device-resident "
           f"(platform: {jax.devices()[0].platform})")
     # Only the demo pulls anything to host: one thumbnail + peak level.
-    thumb = np.asarray(last_frame)[::16, ::16, :3]
-    peak = float(np.abs(np.asarray(last_pcm)).max()) / 0x7FFF
-    print(f"last frame thumbnail {thumb.shape}, mean RGB "
-          f"{thumb.reshape(-1, 3).mean(axis=0).round(1)}; "
-          f"audio peak {peak:.3f}")
+    # (Either substream may be absent in a user-supplied file.)
+    if last_frame is not None:
+        thumb = np.asarray(last_frame)[::16, ::16, :3]
+        print(f"last frame thumbnail {thumb.shape}, mean RGB "
+              f"{thumb.reshape(-1, 3).mean(axis=0).round(1)}")
+    if last_pcm is not None:
+        peak = float(np.abs(np.asarray(last_pcm)).max()) / 0x7FFF
+        print(f"audio peak {peak:.3f}")
 
 
 if __name__ == "__main__":

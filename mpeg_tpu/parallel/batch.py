@@ -275,6 +275,21 @@ def pack_plans_blob(plans, geom: FrameGeometry, window: int,
     return blob
 
 
+def _blob_field(blob, offs, name, dtype, n):
+    """Read one typed field out of a device blob (slice + bitcast;
+    shared by the densify and metadata unpack stages — the layout
+    contract lives in blob_layout alone)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    off, _size = offs[name]
+    width = jnp.dtype(dtype).itemsize
+    raw = blob[off:off + n * width]
+    if width == 1:
+        return lax.bitcast_convert_type(raw, dtype)
+    return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
+
+
 def densify_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
                      ke: int):
     """Stage-A device unpack: scatter-add the coefficient pools into the
@@ -291,16 +306,12 @@ def densify_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
     the result to the scatter-free scan stage (make_blob_scan_decoder).
     """
     import jax.numpy as jnp
-    from jax import lax
 
     offs, _ = blob_layout(geom, window, km, ke)
     mb = geom.mb_size
 
     def get(name, dtype, n):
-        off, _size = offs[name]
-        width = jnp.dtype(dtype).itemsize
-        raw = blob[off:off + n * width]
-        return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
+        return _blob_field(blob, offs, name, dtype, n)
 
     midx = get("main_idx", jnp.uint32, km).astype(jnp.int32)
     mval = get("main_val", jnp.int16, km).astype(jnp.int32)
@@ -328,18 +339,12 @@ def unpack_blob_meta(blob, geom: FrameGeometry, window: int, km: int,
     coefficients (those come from densify_blob_jax, compiled apart —
     see its docstring).  Bitcast + shift arithmetic that XLA fuses."""
     import jax.numpy as jnp
-    from jax import lax
 
     offs, _ = blob_layout(geom, window, km, ke)
     mb = geom.mb_size
 
     def get(name, dtype, n):
-        off, _size = offs[name]
-        width = jnp.dtype(dtype).itemsize
-        raw = blob[off:off + n * width]
-        if width == 1:
-            return lax.bitcast_convert_type(raw, dtype)
-        return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
+        return _blob_field(blob, offs, name, dtype, n)
 
     flags = get("flags", jnp.int32, window)
     mv_h = get("mv_h", jnp.int16, window * mb).astype(jnp.int32) \
@@ -506,6 +511,10 @@ def make_blob_scan_decoder(geom: FrameGeometry, window: int, km: int,
         return jax.lax.scan(step, carry, xs)
 
     def scan_decode(carry, blob):
+        # Commit the blob to the device ONCE — both stages consume the
+        # same device array (feeding the numpy buffer to each jit would
+        # h2d the whole window twice).
+        blob = jax.device_put(blob)
         return scan_stage(carry, blob, densify(blob))
 
     return scan_decode
@@ -879,28 +888,38 @@ class BatchVideoDecoder:
             return self._parse_stage()
         import queue
         import threading
+        import weakref
         if self._pf_thread is None:
-            self._pf_queue = queue.Queue(maxsize=2)
-            self._pf_stop = False
+            self._pf_queue = q = queue.Queue(maxsize=2)
+            self._pf_stop = stop = []   # shared cell; close() appends
+
+            # The producer must not keep the decoder alive: it holds a
+            # weakref and exits when the decoder is collected, so an
+            # abandoned prefetch decoder (no close()) costs at most one
+            # 0.5 s poll cycle after GC instead of a permanent leak.
+            wr = weakref.ref(self)
 
             def producer():
                 while True:
-                    try:
-                        item = self._parse_stage()
-                    except BaseException as e:   # noqa: BLE001
-                        self._pf_queue.put(e)
+                    dec = wr()
+                    if dec is None or stop:
                         return
-                    # Bounded put so close() can stop a producer whose
-                    # consumer went away with the queue full.
+                    try:
+                        item = dec._parse_stage()
+                    except BaseException as e:   # noqa: BLE001
+                        q.put(e)
+                        return
+                    eos = not item[2]
+                    del dec   # no strong decoder ref during the put
                     while True:
-                        if self._pf_stop:
+                        if stop or wr() is None:
                             return
                         try:
-                            self._pf_queue.put(item, timeout=0.5)
+                            q.put(item, timeout=0.5)
                             break
                         except queue.Full:
                             pass
-                    if not item[2]:   # no types: parse exhausted
+                    if eos:   # no types: parse exhausted
                         return
 
             self._pf_thread = threading.Thread(target=producer,
@@ -908,6 +927,11 @@ class BatchVideoDecoder:
             self._pf_thread.start()
         item = self._pf_queue.get()
         if isinstance(item, BaseException):
+            # The producer is gone; recover to inline parsing so a
+            # caller that handles the error can keep using the decoder
+            # (a later get() would otherwise block forever).
+            self._pf_thread = None
+            self._prefetch = False
             raise item
         if not item[2] and self._pf_thread is not None:
             self._pf_thread.join()
@@ -918,11 +942,14 @@ class BatchVideoDecoder:
         return item
 
     def close(self) -> None:
-        """Stop the prefetch thread (no-op without prefetch=True).
-        Call when abandoning a decoder mid-stream; a decoder read to
-        end of stream shuts its thread down by itself."""
+        """Abandon the decoder: stop the prefetch thread and end the
+        stream.  The producer may have parsed up to 3 windows ahead, so
+        decode cannot transparently continue past a close() — further
+        decode_window() calls return [] instead of silently skipping
+        the discarded windows.  A decoder read to end of stream shuts
+        its thread down by itself; close() is for early exits."""
         if self._pf_thread is not None:
-            self._pf_stop = True
+            self._pf_stop.append(True)
             import queue
             while self._pf_thread.is_alive():
                 try:
@@ -931,6 +958,13 @@ class BatchVideoDecoder:
                     pass
                 self._pf_thread.join(timeout=0.1)
             self._pf_thread = None
+        if self._prefetch:
+            # Parsed-ahead windows were discarded; poison further decode
+            # rather than resume with frame gaps + a stale carry.
+            self._types = self._types or [0]
+            self._has_reference_frame = False
+            self.native = None
+            self.video = None
         self._prefetch = False
 
     def _decode_window_once(self):

@@ -1703,9 +1703,12 @@ void vp_blob_counts(void* p, int64_t* out) {
 }
 
 // Emit the prepared picture.  main/esc arrays are sized by the caller
-// from vp_blob_counts (any slack is zero-padded: index-0/value-0 records
-// are no-ops on the device scatter).  mvh/mvv/nbcls/misc point at this
-// picture's metadata slot in the window blob; idx_base is
+// from vp_blob_counts, and records leave in ascending flat-index order
+// (the device scatter ABI declares indices_are_sorted).  Callers that
+// pad slack themselves must keep the streams nondecreasing: value-0
+// records at the LAST dense index (or a repeat of the last real
+// index), NEVER index 0 after real records.  mvh/mvv/nbcls/misc point
+// at this picture's metadata slot in the window blob; idx_base is
 // picture_index * mb_size * 6 * 64.  Returns the flags word
 // (bit0 = is_ref, bit1 = valid).
 int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,

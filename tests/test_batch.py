@@ -349,8 +349,10 @@ def test_batch_decoder_prefetch_parity(mpeg1video_path):
 
 def test_batch_decoder_prefetch_close(mpeg1video_path):
     """close() stops a prefetch producer abandoned mid-stream (even
-    with the queue full), and post-EOS polling parses inline instead of
-    respawning threads."""
+    with the queue full) and poisons further decode — the producer
+    parsed ahead, so resuming would silently skip windows.  A decoder
+    read to EOS shuts its own thread down and stays inline after."""
+    import gc
     import threading
 
     data = open(mpeg1video_path, "rb").read()
@@ -360,7 +362,19 @@ def test_batch_decoder_prefetch_close(mpeg1video_path):
     dec.close()
     assert dec._pf_thread is None
     assert threading.active_count() <= before
-    # a closed decoder keeps working (inline parse), same results
+    assert dec.decode_window() == []    # poisoned, not frame-skipping
+
+    # abandoning WITHOUT close(): the producer holds only a weakref, so
+    # dropping the decoder lets GC reclaim it and the thread exit
+    dec3 = BatchVideoDecoder(data, window=16, prefetch=True)
+    assert dec3.decode_window()
+    t3 = dec3._pf_thread
+    del dec3
+    gc.collect()
+    t3.join(timeout=5)
+    assert not t3.is_alive()
+
+    # read-to-EOS path: same golden, thread self-terminates
     h = Fnv1a64()
     n = 0
     dec2 = BatchVideoDecoder(data, window=16, prefetch=True)
