@@ -837,9 +837,17 @@ def mesh_bench(n_devices: int):
     """Multi-stream mesh mode (BENCH_MESH=N): the sharded blob decoder
     on an N-device virtual CPU mesh — validates the multi-chip scaling
     shape (per-device fps; DP over streams, psum stat on the 'ICI').
-    Run separately from the TPU bench: JAX_PLATFORMS switches per
-    process."""
+    Runs separately from the TPU bench, and provisions its own virtual
+    mesh: the axon sitecustomize overrides JAX_PLATFORMS at import
+    time, so the CPU platform must be forced via jax.config (as
+    tests/conftest.py does) and the device count via XLA_FLAGS before
+    the backend initializes."""
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
     import jax
+    jax.config.update("jax_platforms", "cpu")
     from mpeg_tpu.parallel import sharding as shd
 
     path = ensure_fixture()
