@@ -403,10 +403,20 @@ def _resolve_recon(recon: str, geom: FrameGeometry) -> str:
     import jax
     if jax.devices()[0].platform != "tpu":
         return "xla"   # interpret-mode Pallas is far too slow off-TPU
+    from ..ops.video_recon import _EXT_COLS
+    # Mirror reconstruct_picture_pallas's ext() exactly: the stack views
+    # are padded to 8-row multiples (rows2p) and to the wider of
+    # stride+ext vs the 128-aligned gather window requirement.
     est = 0
     for stride in (geom.luma_width, geom.chroma_width):
         rows2 = 2 * geom.total_size // stride
-        est += rows2 * (((stride - 1) >> 7 << 7) + 256)
+        rows2p = max(-(-rows2 // 8) * 8, 16)   # _U_TILE_ROWS
+        cols = max(stride + _EXT_COLS, ((stride - 1) >> 7 << 7) + 256)
+        est += rows2p * cols
+    # Double-buffered (8, wp) row blocks: cur u8 + res i32 + mask i8 +
+    # out u8 = 7 bytes/px per buffer stage.
+    mbwp = -(-geom.mb_width // 8) * 8
+    est += 2 * 8 * (16 * mbwp) * 7
     return "pallas" if est <= _PALLAS_VMEM_BUDGET else "xla"
 
 
@@ -640,6 +650,8 @@ class BatchVideoDecoder:
         self._prefetch = prefetch
         self._pf_queue = None
         self._pf_thread = None
+        self._closed = False
+        self._cached_geom = None
 
     @classmethod
     def at_time(cls, data: bytes, seek_time: float, **kwargs):
@@ -759,6 +771,11 @@ class BatchVideoDecoder:
 
     @property
     def geom(self) -> FrameGeometry:
+        if self.native is None and self.video is None:
+            if self._cached_geom is not None:
+                return self._cached_geom
+            raise RuntimeError("decoder closed" if self._closed
+                               else "decoder has no parser")
         return self.native.geom() if self.native is not None \
             else self.video.geom
 
@@ -927,11 +944,12 @@ class BatchVideoDecoder:
             self._pf_thread.start()
         item = self._pf_queue.get()
         if isinstance(item, BaseException):
-            # The producer is gone; recover to inline parsing so a
-            # caller that handles the error can keep using the decoder
-            # (a later get() would otherwise block forever).
+            # The producer is gone and may have parsed ahead of the
+            # failed window: the windows it held are lost, so poison
+            # further decode exactly like close() (resuming inline would
+            # silently skip pictures against a stale carry).
             self._pf_thread = None
-            self._prefetch = False
+            self._poison()
             raise item
         if not item[2] and self._pf_thread is not None:
             self._pf_thread.join()
@@ -959,12 +977,23 @@ class BatchVideoDecoder:
                 self._pf_thread.join(timeout=0.1)
             self._pf_thread = None
         if self._prefetch:
-            # Parsed-ahead windows were discarded; poison further decode
-            # rather than resume with frame gaps + a stale carry.
-            self._types = self._types or [0]
-            self._has_reference_frame = False
-            self.native = None
-            self.video = None
+            self._poison()
+        self._prefetch = False
+
+    def _poison(self) -> None:
+        """Parsed-ahead windows were discarded; poison further decode
+        rather than resume with frame gaps + a stale carry.  Geometry is
+        cached first so metadata stays readable on a closed decoder."""
+        if self.native is not None or self.video is not None:
+            try:
+                self._cached_geom = self.geom
+            except Exception:   # header never arrived
+                pass
+        self._types = self._types or [0]
+        self._has_reference_frame = False
+        self.native = None
+        self.video = None
+        self._closed = True
         self._prefetch = False
 
     def _decode_window_once(self):

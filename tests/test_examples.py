@@ -15,6 +15,16 @@ _EXAMPLES = os.path.abspath(
 _TESTDATA = os.path.join(os.path.dirname(__file__), "testdata")
 
 
+from mpeg_tpu import native as _native
+
+# Without the native parser (e.g. Windows CI, no shared-object
+# toolchain) each example decodes via the pure-Python parser on a cold
+# JAX CPU backend — minutes per example, flaky against the timeout.
+pytestmark = pytest.mark.skipif(
+    not _native.available(),
+    reason="examples are too slow on the pure-Python parser")
+
+
 @pytest.mark.parametrize("name", [
     "batch_decode.py", "av_serving.py", "play.py",
     "multistream_mesh.py", "clip_serving.py",
