@@ -44,13 +44,13 @@ struct BitReader {
     // One 8-byte big-endian load of the window at the cursor (fast path
     // for read/peek when 8 bytes remain — the overwhelmingly common case
     // in the per-picture VLC loop).
-    uint64_t window64(int64_t byte_pos) const {
+    __attribute__((always_inline)) uint64_t window64(int64_t byte_pos) const {
         uint64_t w;
         std::memcpy(&w, data + byte_pos, 8);
         return __builtin_bswap64(w);
     }
 
-    int read(int count) {
+    __attribute__((always_inline)) int read(int count) {
         int64_t byte_pos = bit >> 3;
         if (count <= 24 && byte_pos + 8 <= size) {
             uint64_t w = window64(byte_pos);
@@ -75,7 +75,7 @@ struct BitReader {
         return value;
     }
 
-    int read1() {
+    __attribute__((always_inline)) int read1() {
         int64_t byte_pos = bit >> 3;
         if (byte_pos >= size) throw Truncated{};
         int v = (data[byte_pos] >> (7 - (bit & 7))) & 1;
@@ -84,7 +84,7 @@ struct BitReader {
     }
 
     // Peek up to 16 bits; bits past the end read as zero.
-    int peek16(int count) const {
+    __attribute__((always_inline)) int peek16(int count) const {
         int64_t byte_pos = bit >> 3;
         if (byte_pos + 8 <= size) {
             return (int)((window64(byte_pos) >> (64 - (bit & 7) - count)) &
@@ -115,6 +115,11 @@ struct BitReader {
 
     bool peek_non_zero(int count) {
         if (!has(count)) return false;
+        int64_t byte_pos = bit >> 3;
+        if (count <= 24 && byte_pos + 8 <= size) {
+            return ((window64(byte_pos) >> (64 - (bit & 7) - count)) &
+                    ((1u << count) - 1)) != 0;
+        }
         int64_t save = bit;
         int v = read(count);
         bit = save;
@@ -153,7 +158,8 @@ struct BitReader {
     }
 
     template <typename T>
-    int read_vlc(const T* values, const uint8_t* lengths, int bits) {
+    __attribute__((always_inline)) int read_vlc(const T* values,
+            const uint8_t* lengths, int bits) {
         int idx = peek16(bits);
         int len = lengths[idx];
         if (len == 0) throw CorruptStream{};
@@ -161,59 +167,48 @@ struct BitReader {
         return (int)values[idx];
     }
 
-    // DCT-coefficient VLC via a two-level table: the 16-bit direct table
-    // is 192 KB (L2-resident, one miss per coefficient); an 8-bit first
-    // level (1 KB, L1-resident) resolves the short codes that dominate
-    // real streams, falling back to the full table for long codes.
-    int read_vlc_dct(const uint16_t* values, const uint8_t* lengths,
-                     const uint32_t* fast8) {
-        int64_t byte_pos = bit >> 3;
-        if (byte_pos + 8 <= size) {
-            uint64_t w = window64(byte_pos);
-            uint32_t idx = (uint32_t)((w >> (48 - (bit & 7))) & 0xFFFF);
-            uint32_t f = fast8[idx >> 8];   // (val << 8) | len, 0 = miss
-            if (f & 0xFF) {
-                bit += f & 0xFF;
-                return (int)(f >> 8);
-            }
-            int len = lengths[idx];
-            if (len == 0) throw CorruptStream{};
-            bit += len;
-            return (int)values[idx];
-        }
-        return read_vlc(values, lengths, 16);
-    }
 };
 
-// First-level DCT table: entry = (value << 8) | code_length for codes of
-// <= 8 bits (every 16-bit completion of such a prefix shares the symbol
-// by construction of the direct table); 0 = fall back to the full table.
-static uint32_t DCT_FAST8[256];
-
-// Combined run/level/sign table for the AC loop: for codes of <= 7 bits
+// Combined run/level/sign table for the AC loop: for codes of <= 11 bits
 // (excluding the escape 0xFFFF and the EOB-ambiguous 0x0001, whose extra
 // bit depends on coefficient count), the SIGN bit lives inside the same
-// 8-bit window, so one load yields the fully-decoded coefficient:
-// entry = bits(8) | run << 8 | signed_level << 16; 0 = fall back.
-static uint32_t DCT_FAST9[256];
+// 12-bit window, so one load yields the fully-decoded coefficient:
+// entry = bits(8) | run << 8 | signed_level << 16; 0 = fall back to the
+// full 16-bit direct table.  4096 x 4 B = 16 KB — L1-resident alongside
+// the other VLC tables, and wide enough that the fallback only fires on
+// escapes and the rare >= 12-bit codes.  (Every 16-bit completion of a
+// <= 12-bit prefix shares the symbol by construction of the direct
+// table, so indexing DCT_COEFF_* at prefix << 4 is exact.)
+static uint32_t DCT_FAST12[4096];
+
+// Combined (value << 8 | length) direct table for the FAST12 misses:
+// one 256 KB table = one cache access per long-code lookup, instead of
+// two (the split LEN + VAL tables cost two L2 misses each).
+static uint32_t DCT_COMB16[65536];
 
 static const bool DCT_FAST_INIT = [] {
-    for (int i = 0; i < 256; i++) {
-        int idx = i << 8;
+    for (int i = 0; i < 65536; i++)
+        DCT_COMB16[i] = ((uint32_t)DCT_COEFF_VAL[i] << 8) | DCT_COEFF_LEN[i];
+    for (int i = 0; i < 4096; i++) {
+        int idx = i << 4;
         uint8_t len = DCT_COEFF_LEN[idx];
-        DCT_FAST8[i] = (len > 0 && len <= 8)
-            ? (((uint32_t)DCT_COEFF_VAL[idx] << 8) | len) : 0;
-        DCT_FAST9[i] = 0;
-        if (len > 0 && len + 1 <= 8) {
-            uint16_t v = DCT_COEFF_VAL[idx];
-            if (v != 0xFFFF && v != 0x0001) {
-                int sign = (i >> (7 - len)) & 1;
-                int16_t slevel = (int16_t)(v & 0xFF);
-                if (sign) slevel = -slevel;
-                DCT_FAST9[i] = (uint32_t)(len + 1) |
-                               ((uint32_t)(v >> 8) << 8) |
-                               ((uint32_t)(uint16_t)slevel << 16);
-            }
+        DCT_FAST12[i] = 0;
+        if (len == 0) continue;
+        uint16_t v = DCT_COEFF_VAL[idx];
+        if (v == 0x0001 && len + 2 <= 12) {
+            // EOB-ambiguous code (once per coded block): marker entry,
+            // low byte 0, type 1, prefix length in bits 8..15.
+            DCT_FAST12[i] = (1u << 30) | ((uint32_t)len << 8);
+        } else if (v == 0xFFFF) {
+            // escape: marker type 2 — run/level read from the window
+            DCT_FAST12[i] = (2u << 30) | ((uint32_t)len << 8);
+        } else if (len + 1 <= 12) {
+            int sign = (i >> (11 - len)) & 1;
+            int16_t slevel = (int16_t)(v & 0xFF);
+            if (sign) slevel = -slevel;
+            DCT_FAST12[i] = (uint32_t)(len + 1) |
+                            ((uint32_t)(v >> 8) << 8) |
+                            ((uint32_t)(uint16_t)slevel << 16);
         }
     }
     return true;
@@ -371,6 +366,11 @@ struct VideoParser {
     // internal plan storage for direct blob emission
     std::vector<int32_t> own_coeffs, own_quots, own_nblocks, own_intra,
         own_sel, own_mvh, own_mvv;
+    // Eagerly-packed per-MB metadata (blob mode): the exact nbcls/misc
+    // encoding vp_blob_emit ships, maintained at block-code/predict time
+    // so emit copies bytes instead of re-deriving classes from the plan.
+    std::vector<uint16_t> own_nbcls;
+    std::vector<uint8_t> own_misc;
     std::vector<int32_t> dirty_stamp;   // per-MB generation stamp
     std::vector<int32_t> dirty_mbs;
     int32_t generation = 0;
@@ -388,6 +388,7 @@ struct VideoParser {
     bool track_pool = false;
     bool plan_pending = false;          // prepared picture awaiting emit
     std::vector<int32_t> coded_stamp;   // per-block generation stamp
+    std::vector<int32_t> mb_any_stamp;  // per-MB any-block-coded stamp
     std::vector<int32_t> coded_blocks;  // block ids (mb*6+b) this picture
     // Emit ABI: pool records leave vp_blob_emit in ascending flat-index
     // order (the device scatter is declared indices_are_sorted).  Blocks
@@ -395,6 +396,14 @@ struct VideoParser {
     // slice (corrupt stream) clears this and emit sorts coded_blocks.
     bool blocks_monotone = true;
     int32_t last_coded_bid = -1;
+    // Records are appended with pool_base (the picture's idx_base, set
+    // by the window driver BEFORE prepare) already added, so the common
+    // emit is a straight memcpy; emit with a different idx_base adds the
+    // delta.  dead_segs counts re-touched/re-predicted segments — when
+    // zero and blocks are monotone (every well-formed stream), the
+    // record pools ARE the emit stream verbatim.
+    int64_t pool_base = 0;
+    int32_t dead_segs = 0;
     std::vector<uint16_t> blk_main, blk_esc;
     int64_t pool_main = 0, pool_esc = 0;
     struct RecSeg {
@@ -422,6 +431,7 @@ struct VideoParser {
     // scratch (division-free); a re-touched block's earlier segment is
     // marked dead so only the latest values emit (sequential-rewrite).
     void note_coded_block(int bid) {
+        mb_any_stamp[bid / 6] = generation;
         if (coded_stamp[bid] != generation) {
             coded_stamp[bid] = generation;
             coded_blocks.push_back(bid);
@@ -434,11 +444,12 @@ struct VideoParser {
             if (s >= 0) {
                 rec_segs[s].dead = true;
                 seg_of[bid] = -1;
+                dead_segs++;
             }
         }
         uint32_t m0 = (uint32_t)rec_midx.size();
         uint32_t e0 = (uint32_t)rec_eidx.size();
-        uint32_t base = (uint32_t)bid * 64;
+        uint32_t base = (uint32_t)(pool_base + (int64_t)bid * 64);
         for (uint64_t occ = scratch_occ; occ; occ &= occ - 1) {
             int j = __builtin_ctzll(occ);
             int32_t q = block_quot[j];
@@ -463,8 +474,11 @@ struct VideoParser {
     }
 
     // A new prediction erases this MB's residual stores (nblocks -> 0),
-    // so its blocks no longer emit records.
+    // so its blocks no longer emit records.  The common flow codes an
+    // MB's blocks only AFTER its prediction, so one per-MB stamp check
+    // skips the 6-block sweep for nearly every call.
     void note_predicted(int mb) {
+        if (mb_any_stamp[mb] != generation) return;
         for (int b = 0; b < 6; b++) {
             int bid = mb * 6 + b;
             if (coded_stamp[bid] == generation) {
@@ -476,6 +490,7 @@ struct VideoParser {
                 if (s >= 0) {
                     rec_segs[s].dead = true;
                     seg_of[bid] = -1;
+                    dead_segs++;
                 }
             }
         }
@@ -499,9 +514,12 @@ struct VideoParser {
             own_mvv.assign(mb_size, 0);
             dirty_stamp.assign(mb_size, -1);
             coded_stamp.assign((size_t)mb_size * 6, -1);
+            mb_any_stamp.assign(mb_size, -1);
             blk_main.assign((size_t)mb_size * 6, 0);
             blk_esc.assign((size_t)mb_size * 6, 0);
             seg_of.assign((size_t)mb_size * 6, -1);
+            own_nbcls.assign(mb_size, 0);
+            own_misc.assign(mb_size, 0);
         }
     }
 
@@ -541,6 +559,8 @@ struct VideoParser {
                 own_sel[mb] = 0;
                 own_mvh[mb] = 0;
                 own_mvv[mb] = 0;
+                own_nbcls[mb] = 0;
+                own_misc[mb] = 0;
             }
         }
         dirty_mbs.clear();
@@ -553,6 +573,8 @@ struct VideoParser {
         rec_eidx.clear();
         rec_eval.clear();
         pool_main = pool_esc = 0;
+        pool_base = 0;
+        dead_segs = 0;
         plan_pending = false;
         last_ptype = 0;
         generation++;   // stale stamps (dirty/coded) become invalid
@@ -668,9 +690,18 @@ struct VideoParser {
         mv_h[mb_address] = mh;
         mv_v[mb_address] = mv;
         // New prediction erases earlier residuals/intra stores of this MB.
-        std::memset(nblocks + mb_address * 6, 0, 6 * sizeof(int32_t));
-        std::memset(intra_blk + mb_address * 6, 0, 6 * sizeof(int32_t));
-        if (track_pool) note_predicted(mb_address);
+        if (track_pool) {
+            // Blob mode reads per-MB metadata only through the packed
+            // nbcls/misc; the dense nblocks/intra entries this MB may
+            // have are cleared by emit's dirty walk (or the reset
+            // paths), so the dense erase is skipped here.
+            note_predicted(mb_address);
+            own_nbcls[mb_address] = 0;
+            own_misc[mb_address] = (uint8_t)(sel << 6);
+        } else {
+            std::memset(nblocks + mb_address * 6, 0, 6 * sizeof(int32_t));
+            std::memset(intra_blk + mb_address * 6, 0, 6 * sizeof(int32_t));
+        }
     }
 
     void decode_block(int block) {
@@ -707,21 +738,91 @@ struct VideoParser {
 
         for (;;) {
             int run, level;
-            // Fast lane: codes of <= 7 bits with the sign bit in the
-            // same byte decode in one table hit (the bulk of real ACs).
+            // Fast lane: one 64-bit window load serves the whole
+            // iteration — codes of <= 11 bits with the sign bit in the
+            // same 12-bit view decode in one table hit (the bulk of
+            // real ACs); longer codes fall through to the 16-bit direct
+            // table with EOB/sign bits read from the SAME window.
             int64_t byte_pos = br.bit >> 3;
-            uint32_t f9 = 0;
             if (byte_pos + 8 <= br.size) {
                 uint64_t w = br.window64(byte_pos);
-                f9 = DCT_FAST9[(w >> (56 - (br.bit & 7))) & 0xFF];
-            }
-            if (f9) {
-                br.bit += f9 & 0xFF;
-                run = (int)((f9 >> 8) & 0xFF);
-                level = (int16_t)(f9 >> 16);
+                int sh = (int)(br.bit & 7);
+                uint32_t f = DCT_FAST12[(w >> (52 - sh)) & 0xFFF];
+                if (f & 0xFF) {
+                    br.bit += f & 0xFF;
+                    run = (int)((f >> 8) & 0xFF);
+                    level = (int16_t)(f >> 16);
+                } else if (f) {
+                    // Marker entries: the EOB-ambiguous 0x0001 family
+                    // (type 1) and the escape (type 2), both decoded
+                    // from the SAME window — no second table load.
+                    int len = (int)((f >> 8) & 0xFF);
+                    int off = sh + len;
+                    if ((f >> 30) == 1) {
+                        br.bit += len;
+                        if (n > 0) {
+                            // EOB-check bit (consumed either way; a 1
+                            // means run-0/level-1, video.go:686).
+                            int b = (int)((w >> (63 - off)) & 1);
+                            br.bit += 1;
+                            off += 1;
+                            if (b == 0) break;   // EOB
+                        }
+                        int s = (int)((w >> (63 - off)) & 1);
+                        br.bit += 1;
+                        run = 0;
+                        level = s ? -1 : 1;
+                    } else {
+                        // escape: run(6), level(8), extension byte for
+                        // 0/128; max 7 + 6 + 6 + 8 + 8 = 35 bits of w.
+                        run = (int)((w >> (58 - off)) & 0x3F);
+                        level = (int)((w >> (50 - off)) & 0xFF);
+                        off += 14;
+                        if (level == 0) {
+                            level = (int)((w >> (56 - off)) & 0xFF);
+                            off += 8;
+                        } else if (level == 128) {
+                            level = (int)((w >> (56 - off)) & 0xFF) - 256;
+                            off += 8;
+                        } else if (level > 128) {
+                            level -= 256;
+                        }
+                        br.bit = (byte_pos << 3) + off;
+                    }
+                } else {
+                    uint32_t idx = (uint32_t)((w >> (48 - sh)) & 0xFFFF);
+                    uint32_t vl = DCT_COMB16[idx];
+                    int len = (int)(vl & 0xFF);
+                    if (len == 0) throw CorruptStream{};
+                    br.bit += len;
+                    int coeff = (int)(vl >> 8);
+                    if (coeff == 0x0001 && n > 0) {
+                        // (unreachable via the 12-bit view — kept for
+                        // exact parity should the marker gating change)
+                        int b = (int)((w >> (63 - sh - len)) & 1);
+                        br.bit += 1;
+                        if (b == 0) break;   // EOB
+                    }
+                    if (coeff == 0xFFFF) {
+                        run = br.read(6);
+                        level = br.read(8);
+                        if (level == 0) level = br.read(8);
+                        else if (level == 128) level = br.read(8) - 256;
+                        else if (level > 128) level -= 256;
+                    } else {
+                        run = coeff >> 8;
+                        level = coeff & 0xFF;
+                        // sign: next bit, still inside the window
+                        // (<= 7 + 16 + 1 + 1 bits consumed of 64)
+                        int off = (int)(br.bit - (byte_pos << 3));
+                        br.bit += 1;
+                        if ((w >> (63 - off)) & 1) level = -level;
+                    }
+                }
             } else {
-                int coeff = (int)(uint16_t)br.read_vlc_dct(
-                    DCT_COEFF_VAL, DCT_COEFF_LEN, DCT_FAST8);
+                // Tail of the buffer: generic bit-serial path.
+                int coeff = (int)(uint16_t)br.read_vlc(
+                    DCT_COEFF_VAL, DCT_COEFF_LEN, 16);
                 if (coeff == 0x0001 && n > 0 && br.read1() == 0)
                     break;   // EOB
                 if (coeff == 0xFFFF) {
@@ -742,12 +843,14 @@ struct VideoParser {
             int pos = ZIG_ZAG[n] & 63;
             n++;
 
+            // Branchless dequant chain (the sign-dependent branches here
+            // are data-random and mispredict heavily on grainy content).
             level *= 2;   // not <<: level may be negative (UB pre-C++20)
-            if (!mb_intra) level += level < 0 ? -1 : 1;
+            if (!mb_intra) level += (level >> 31) | 1;   // +1 / -1 (0 -> +1)
             level = (level * quantizer_scale * quant[pos]) >> 4;
-            if ((level & 1) == 0) level += level > 0 ? -1 : 1;
-            if (level > 2047) level = 2047;
-            else if (level < -2048) level = -2048;
+            // oddify toward zero when even (+1 for level <= 0, -1 for > 0)
+            level += ((level & 1) ^ 1) * (1 - 2 * (int)(level > 0));
+            level = level > 2047 ? 2047 : (level < -2048 ? -2048 : level);
 
             block_quot[pos] = level;
             block_data[pos] = level * PREMULTIPLIER[pos];
@@ -758,14 +861,22 @@ struct VideoParser {
             mark_dirty(mb_address);
             if (track_pool) {
                 // Blob mode reads coefficients only through the eager
-                // record segments — skip the dense plan store.
+                // record segments, and per-MB metadata only through the
+                // eager nbcls/misc packing — the dense plan stores are
+                // skipped entirely (nothing reads them in this mode).
                 note_coded_block(mb_address * 6 + block);
+                int cls = n == 1 ? 1 : (n < 10 ? 2 : 3);
+                int sh2 = 2 * block;
+                own_nbcls[mb_address] = (uint16_t)(
+                    (own_nbcls[mb_address] & ~(3 << sh2)) | (cls << sh2));
+                if (mb_intra) own_misc[mb_address] |= (uint8_t)(1 << block);
+                else own_misc[mb_address] &= (uint8_t)~(1 << block);
             } else {
                 std::memcpy(coeffs + ((int64_t)mb_address * 6 + block) * 64,
                             block_data, 64 * sizeof(int32_t));
+                nblocks[mb_address * 6 + block] = n;
+                intra_blk[mb_address * 6 + block] = mb_intra ? 1 : 0;
             }
-            nblocks[mb_address * 6 + block] = n;
-            intra_blk[mb_address * 6 + block] = mb_intra ? 1 : 0;
         }
         // Partial clear exactly like the reference (video.go:777,790-796):
         // DC-only blocks clear slot 0 only (earlier leaks persist); full
@@ -1639,6 +1750,8 @@ void vp_rewind(void* p) {
         v->own_sel[mb] = 0;
         v->own_mvh[mb] = 0;
         v->own_mvv[mb] = 0;
+        v->own_nbcls[mb] = 0;
+        v->own_misc[mb] = 0;
     }
     v->dirty_mbs.clear();
     v->coded_blocks.clear();
@@ -1651,6 +1764,8 @@ void vp_rewind(void* p) {
     v->rec_eval.clear();
     v->pool_main = 0;
     v->pool_esc = 0;
+    v->pool_base = 0;
+    v->dead_segs = 0;
     v->plan_pending = false;
     v->generation++;
 }
@@ -1717,60 +1832,73 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
                  int64_t idx_base) {
     auto* v = (VideoParser*)p;
     int64_t nm = 0, ne = 0;
-    uint32_t ib = (uint32_t)idx_base;
-    // Emit in ascending-bid order so the record streams are sorted by
-    // flat index (device scatter ABI: indices_are_sorted; within a
-    // block note_coded_block already scans positions 0..63 in order).
-    // Well-formed streams code blocks in ascending bid, so the sort
-    // only ever runs for corrupt streams with out-of-order slices.
-    if (!v->blocks_monotone)
-        std::sort(v->coded_blocks.begin(), v->coded_blocks.end());
-    for (int bid : v->coded_blocks) {
-        int si = v->seg_of[bid];
-        if (si < 0) continue;   // re-predicted/re-touched: latest only
-        const auto& s = v->rec_segs[si];
-        const uint32_t* mi = v->rec_midx.data() + s.m_start;
-        const int16_t* mv = v->rec_mval.data() + s.m_start;
-        for (int k = 0; k < s.m_len; k++) {
-            main_idx[nm + k] = mi[k] + ib;
-            main_val[nm + k] = mv[k];
+    // Records were appended with pool_base already added; emit at a
+    // different base adds the delta (pending-picture re-emit, direct
+    // blob_emit callers that never set pool_base).
+    uint32_t delta = (uint32_t)(idx_base - v->pool_base);
+    if (v->blocks_monotone && v->dead_segs == 0) {
+        // Well-formed stream: every segment is live, appended in
+        // ascending bid order — the pools ARE the emit stream.
+        nm = (int64_t)v->rec_midx.size();
+        ne = (int64_t)v->rec_eidx.size();
+        if (delta == 0) {
+            std::memcpy(main_idx, v->rec_midx.data(), nm * sizeof(uint32_t));
+            std::memcpy(esc_idx, v->rec_eidx.data(), ne * sizeof(uint32_t));
+        } else {
+            const uint32_t* mi = v->rec_midx.data();
+            for (int64_t k = 0; k < nm; k++) main_idx[k] = mi[k] + delta;
+            const uint32_t* ei = v->rec_eidx.data();
+            for (int64_t k = 0; k < ne; k++) esc_idx[k] = ei[k] + delta;
         }
-        nm += s.m_len;
-        const uint32_t* ei = v->rec_eidx.data() + s.e_start;
-        const int32_t* ev = v->rec_eval.data() + s.e_start;
-        for (int k = 0; k < s.e_len; k++) {
-            esc_idx[ne + k] = ei[k] + ib;
-            esc_val[ne + k] = ev[k];
+        std::memcpy(main_val, v->rec_mval.data(), nm * sizeof(int16_t));
+        std::memcpy(esc_val, v->rec_eval.data(), ne * sizeof(int32_t));
+    } else {
+        // Corrupt-stream path: emit live segments in ascending-bid order
+        // (device scatter ABI: indices_are_sorted; within a block
+        // note_coded_block already scans positions 0..63 in order).
+        if (!v->blocks_monotone)
+            std::sort(v->coded_blocks.begin(), v->coded_blocks.end());
+        for (int bid : v->coded_blocks) {
+            int si = v->seg_of[bid];
+            if (si < 0) continue;   // re-predicted/re-touched: latest only
+            const auto& s = v->rec_segs[si];
+            const uint32_t* mi = v->rec_midx.data() + s.m_start;
+            const int16_t* mv = v->rec_mval.data() + s.m_start;
+            for (int k = 0; k < s.m_len; k++) {
+                main_idx[nm + k] = mi[k] + delta;
+                main_val[nm + k] = mv[k];
+            }
+            nm += s.m_len;
+            const uint32_t* ei = v->rec_eidx.data() + s.e_start;
+            const int32_t* ev = v->rec_eval.data() + s.e_start;
+            for (int k = 0; k < s.e_len; k++) {
+                esc_idx[ne + k] = ei[k] + delta;
+                esc_val[ne + k] = ev[k];
+            }
+            ne += s.e_len;
         }
-        ne += s.e_len;
     }
     // Defensive pads (pool counts are exact, so these never run): value
     // 0 at the last written index keeps the sorted-stream invariant.
     for (; nm < v->pool_main; nm++) {
-        main_idx[nm] = nm > 0 ? main_idx[nm - 1] : ib;
+        main_idx[nm] = nm > 0 ? main_idx[nm - 1] : (uint32_t)idx_base;
         main_val[nm] = 0;
     }
     for (; ne < v->pool_esc; ne++) {
-        esc_idx[ne] = ne > 0 ? esc_idx[ne - 1] : ib;
+        esc_idx[ne] = ne > 0 ? esc_idx[ne - 1] : (uint32_t)idx_base;
         esc_val[ne] = 0;
     }
 
     for (int mb : v->dirty_mbs) {
+        // Metadata was packed eagerly at code/predict time.  (The dense
+        // own_nblocks/own_intra entries need no clearing: blob-mode
+        // decode_block never writes them.)
         mvh[mb] = (int16_t)v->own_mvh[mb];
         mvv[mb] = (int16_t)v->own_mvv[mb];
-        uint16_t nc = 0;
-        uint8_t ms = 0;
-        for (int b = 0; b < 6; b++) {
-            int n = v->own_nblocks[mb * 6 + b];
-            int cls = n <= 0 ? 0 : (n == 1 ? 1 : (n < 10 ? 2 : 3));
-            nc |= (uint16_t)(cls << (2 * b));
-            if (v->own_intra[mb * 6 + b]) ms |= (uint8_t)(1 << b);
-        }
-        ms |= (uint8_t)(v->own_sel[mb] << 6);
-        nbcls[mb] = nc;
-        misc[mb] = ms;
-        std::memset(v->own_nblocks.data() + mb * 6, 0, 6 * sizeof(int32_t));
-        std::memset(v->own_intra.data() + mb * 6, 0, 6 * sizeof(int32_t));
+        nbcls[mb] = v->own_nbcls[mb];
+        misc[mb] = v->own_misc[mb];
+        v->own_nbcls[mb] = 0;
+        v->own_misc[mb] = 0;
         v->own_sel[mb] = 0;
         v->own_mvh[mb] = 0;
         v->own_mvv[mb] = 0;
@@ -1787,6 +1915,7 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
     v->rec_eval.clear();
     v->pool_main = 0;
     v->pool_esc = 0;
+    v->dead_segs = 0;
     v->generation++;
     v->plan_pending = false;
     return (is_ref ? 1 : 0) | 2;
@@ -1816,6 +1945,10 @@ static int64_t blob_window_impl(
     int64_t nm = nm0, ne = ne0, w = start_pic;
     out[2] = 0;
     while (w < max_pics) {
+        // Pre-add this picture's idx_base to the records as they are
+        // appended (emit then memcpys).  A pending picture keeps the
+        // base it was prepared with; emit adds the delta if it differs.
+        if (!v->plan_pending) v->pool_base = w * mb * 6 * 64;
         int t = prepare(prepare_arg);
         if (t == 0) break;
         if (nm + v->pool_main > km || ne + v->pool_esc > ke) {
