@@ -461,13 +461,18 @@ def main():
     # BENCH_SUSTAIN=<seconds> overrides the duration (0 disables).
     sustain = float(os.environ.get("BENCH_SUSTAIN", "20"))
     sustained_fps = None
+    sustained_laps = []   # per-lap {fps, parse_wait, h2d, drain} shares
     if sustain > 0:
         parse_q = queue.Queue(maxsize=2)
         stop = []
+        parse_busy = [0.0]   # parser-thread time inside fill()
 
         def parser_thread():
             while not stop:
-                parse_q.put(fill(streams))
+                t = time.perf_counter()
+                filled = fill(streams)
+                parse_busy[0] += time.perf_counter() - t
+                parse_q.put(filled)
 
         workers = [threading.Thread(target=parser_thread, daemon=True)]
         for t in workers:
@@ -475,20 +480,38 @@ def main():
         carry = fresh_carry()
         done_frames = 0
         lap_frames = 0
+        # Per-lap stage attribution on the consumer thread: time blocked
+        # waiting for the parser (parse-bound), inside transfer() (h2d
+        # h2d-bound), and draining the dispatch backlog at the lap edge
+        # (device/queue-bound).  Makes an external stall attributable
+        # from the driver artifact instead of from prose (VERDICT r3).
+        lap_wait = lap_h2d = 0.0
         lap_t = t0 = time.time()
-        worst = 1e9
-        best = 0.0
         while time.time() - t0 < sustain:
-            carry, disps = vscan(carry, transfer(parse_q.get()))
+            t = time.perf_counter()
+            filled = parse_q.get()
+            lap_wait += time.perf_counter() - t
+            t = time.perf_counter()
+            dev = transfer(filled)
+            lap_h2d += time.perf_counter() - t
+            carry, disps = vscan(carry, dev)
             done_frames += STREAMS * WINDOW
             lap_frames += STREAMS * WINDOW
             if lap_frames >= 960:   # ~2-3 s laps
+                t = time.perf_counter()
                 jax.block_until_ready(disps)
+                drain = time.perf_counter() - t
                 now = time.time()
-                lap = lap_frames / (now - lap_t)
-                worst = min(worst, lap)
-                best = max(best, lap)
+                wall = now - lap_t
+                sustained_laps.append({
+                    "fps": round(lap_frames / wall, 1),
+                    "parse_wait_s": round(lap_wait, 2),
+                    "h2d_s": round(lap_h2d, 2),
+                    "drain_s": round(drain, 2),
+                    "wall_s": round(wall, 2),
+                })
                 lap_frames = 0
+                lap_wait = lap_h2d = 0.0
                 lap_t = now
         jax.block_until_ready(disps)
         dt = time.time() - t0
@@ -502,9 +525,15 @@ def main():
                 pass
             time.sleep(0.01)
         sustained_fps = done_frames / dt
-        laps = f" (lap min {worst:.1f}, max {best:.1f})" if best else ""
+        lap_fps = [l["fps"] for l in sustained_laps]
+        laps = (f" (lap min {min(lap_fps):.1f}, max {max(lap_fps):.1f})"
+                if lap_fps else "")
         log(f"SUSTAINED {dt:.0f}s: {done_frames} frames -> "
-            f"{sustained_fps:.1f} fps{laps}")
+            f"{sustained_fps:.1f} fps{laps}; parser busy "
+            f"{parse_busy[0] / dt:.0%}; per-lap attribution "
+            f"[fps|parse-wait|h2d|drain]: " +
+            " ".join(f"[{l['fps']}|{l['parse_wait_s']}|{l['h2d_s']}|"
+                     f"{l['drain_s']}]" for l in sustained_laps))
 
     # transfer+device only (parse excluded)
     pre, pre_slot = fill(streams)
@@ -573,32 +602,84 @@ def main():
         jax.block_until_ready(out)
         return (time.time() - t0) / iters * 1000
 
-    mc_ms = {}
-    for name, (dh, dv) in (("copy", (0, 0)), ("horiz", (1, 0)),
-                           ("vert", (0, 1)), ("bilin", (1, 1))):
-        mv_h_d = jax.device_put(np.full(mb_n, dh, np.int32))
-        mv_v_d = jax.device_put(np.full(mb_n, dv, np.int32))
-        mc_ms[name] = time_fn(lambda: recon(
-            frame, frame, frame, zc, zn, zn, ones, mv_h_d, mv_v_d))
-    log("MC mode microbench (1080p, ms/pic): " +
+    # All four modes run the same jitted executable (data-only deltas).
+    # Transfers land first and are excluded; two rotated rounds with a
+    # per-mode min kill order effects (round 3 showed the first-timed
+    # mode eating a 13x residual stall once — a timing artifact, not a
+    # data-dependent slow path).
+    modes = (("copy", (0, 0)), ("horiz", (1, 0)),
+             ("vert", (0, 1)), ("bilin", (1, 1)))
+    mv_dev = {}
+    for name, (dh, dv) in modes:
+        mv_dev[name] = (jax.device_put(np.full(mb_n, dh, np.int32)),
+                        jax.device_put(np.full(mb_n, dv, np.int32)))
+    jax.block_until_ready(mv_dev)
+    mc_ms = {name: 1e9 for name, _ in modes}
+    for rnd in range(2):
+        order = list(modes)[rnd:] + list(modes)[:rnd]
+        for name, _ in order:
+            mv_h_d, mv_v_d = mv_dev[name]
+            t = time_fn(lambda: recon(
+                frame, frame, frame, zc, zn, zn, ones, mv_h_d, mv_v_d))
+            mc_ms[name] = min(mc_ms[name], t)
+    log("MC mode microbench (1080p, ms/pic, min of 2 rotated rounds): " +
         " | ".join(f"{k} {v:.3f}" for k, v in mc_ms.items()))
 
     cf = jax.device_put(
         rng.integers(-2000, 2000, (mb_n, 6, 64)).astype(np.int32))
     nb = jax.device_put(rng.integers(0, 30, (mb_n, 6)).astype(np.int32))
     mvr = jax.device_put(rng.integers(-16, 17, mb_n).astype(np.int32))
-    t_xla = time_fn(lambda: recon(
-        frame, frame, frame, cf, nb, zn, ones, mvr, mvr))
-    t_pal = time_fn(lambda: reconstruct_picture_pallas(
-        frame, frame, frame, cf, nb, zn, ones, mvr, mvr, geom), iters=5)
+    xla_fn = lambda: recon(frame, frame, frame, cf, nb, zn, ones, mvr, mvr)
+    pal_fn = lambda: reconstruct_picture_pallas(
+        frame, frame, frame, cf, nb, zn, ones, mvr, mvr, geom)
+    t_xla = time_fn(xla_fn)
+    t_pal = time_fn(pal_fn, iters=5)
     log(f"reconstruct microbench: xla {t_xla:.3f} ms/pic | "
         f"pallas unified (1 call) {t_pal:.3f} ms/pic -> "
         f"{'xla' if t_xla <= t_pal else 'pallas'} wins "
         f"({max(t_xla, t_pal) / max(min(t_xla, t_pal), 1e-9):.0f}x)")
 
+    # Contended A/B: same two variants while a host thread pumps h2d
+    # (the production pipeline always overlaps transfers with dispatch).
+    # This is the regime where round-3 BASELINE claimed the single-call
+    # Pallas kernel holds and the many-op XLA program amplifies stalls;
+    # recording both every run makes recon="auto"'s choice auditable
+    # from the driver artifact (VERDICT r3 weak #3).
+    def contended(fn, iters=10):
+        stop = []
+        buf = np.empty(8 << 20, np.uint8)
+        buf[:] = rng.integers(0, 256, buf.shape, np.uint8)  # incompressible
+
+        def pump():
+            while not stop:
+                jax.device_put(buf).block_until_ready()
+
+        th = threading.Thread(target=pump, daemon=True)
+        jax.block_until_ready(fn())
+        th.start()
+        try:
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / iters * 1000
+        finally:
+            stop.append(True)
+            th.join()
+
+    t_xla_c = contended(xla_fn)
+    t_pal_c = contended(pal_fn)
+    log(f"reconstruct contended (concurrent 8MB h2d pump): "
+        f"xla {t_xla_c:.3f} ms/pic | pallas {t_pal_c:.3f} ms/pic -> "
+        f"{'xla' if t_xla_c <= t_pal_c else 'pallas'} wins")
+
     # The headline JSON goes out BEFORE the secondary metrics: the shared
     # tunnel occasionally stalls for minutes on a cold d2h, and the
     # driver-visible result must not hang on the audio extras.
+    lap_fps = [l["fps"] for l in sustained_laps]
+    worst_lap = (min(sustained_laps, key=lambda l: l["fps"])
+                 if sustained_laps else None)
+    from mpeg_tpu.parallel.batch import _resolve_recon
     print(json.dumps({
         "metric": "1080p MPEG-1 end-to-end decode fps/chip (native parse "
                   "+ window-blob h2d + TPU reconstruct; baseline: "
@@ -607,6 +688,21 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / base_fps, 2) if base_fps else 0.0,
         "sustained_fps": round(sustained_fps, 1) if sustained_fps else None,
+        # Per-lap stage attribution (consumer thread): a sustained-vs-
+        # burst gap is attributable from this artifact alone — a stalled
+        # lap shows WHERE the wall time went (parse_wait = parser-bound,
+        # h2d = transfer-bound, drain = device/dispatch-queue-bound).
+        "sustained_lap_min": min(lap_fps) if lap_fps else None,
+        "sustained_lap_median": (statistics.median(lap_fps)
+                                 if lap_fps else None),
+        "sustained_worst_lap": worst_lap,
+        "parse_fps": round(parse_fps, 1),
+        # recon="auto" evidence: quiet + contended ms/pic for both
+        # reconstruct formulations, and what auto resolves to here.
+        "recon": {"xla_ms": round(t_xla, 3), "pallas_ms": round(t_pal, 3),
+                  "xla_contended_ms": round(t_xla_c, 3),
+                  "pallas_contended_ms": round(t_pal_c, 3),
+                  "auto_picks": _resolve_recon("auto", geom)},
     }), flush=True)
 
     # Secondary metrics ----------------------------------------------------
@@ -678,9 +774,17 @@ def main():
         # first touch — cold starts, not parse rate.
         for _ in range(2):
             ring64.release(fill64(streams64)[1])
-        t0 = time.time()
-        blob64, slot64 = fill64(streams64)
-        parse64_dt = time.time() - t0
+        # Parse budget: median of 3 rounds (round 3 reported a single
+        # round and under-reported by ~2x under host noise).
+        p64 = []
+        blob64 = slot64 = None
+        for _ in range(3):
+            if slot64 is not None:
+                ring64.release(slot64)
+            t0 = time.time()
+            blob64, slot64 = fill64(streams64)
+            p64.append(time.time() - t0)
+        parse64_dt = statistics.median(p64)
         dev64 = jax.device_put(blob64)
         jax.block_until_ready(dev64)
         ring64.release(slot64)
@@ -697,7 +801,35 @@ def main():
         log(f"64-STREAM 1080p (window {W64}): device-resident "
             f"{f64 / dt:.0f} fps/chip ({f64 / dt / S64:.1f} fps/stream); "
             f"1-core parse feeds {S64 * W64 / parse64_dt:.0f} fps "
-            f"({blob64.nbytes / 1e6:.0f} MB/round h2d)")
+            f"(median of 3 rounds; {blob64.nbytes / 1e6:.0f} MB/round "
+            f"h2d)")
+
+        # True overlapped e2e on the north-star config: parse thread ||
+        # h2d+dispatch, exactly like the headline pipeline (VERDICT r3
+        # asked for 64-stream e2e >= single-stream e2e or a budget line).
+        E64 = 4   # rounds
+        q64 = queue.Queue(maxsize=1)
+
+        def parse64_thread():
+            for _ in range(E64):
+                q64.put(fill64(streams64))
+
+        th = threading.Thread(target=parse64_thread, daemon=True)
+        t0 = time.time()
+        th.start()
+        for _ in range(E64):
+            blob, slot = q64.get()
+            dev = jax.device_put(blob)
+            dev.block_until_ready()
+            ring64.release(slot)
+            carry64, disps = vscan64(carry64, dev)
+        jax.block_until_ready(disps)
+        dt = time.time() - t0
+        th.join()
+        log(f"64-STREAM e2e (parse || h2d+dispatch): "
+            f"{S64 * W64 * E64} frames in {dt:.1f}s -> "
+            f"{S64 * W64 * E64 / dt:.0f} fps/chip "
+            f"({S64 * W64 * E64 / dt / S64:.1f} fps/stream)")
 
     def secondary_longform():
         """North-star config (BASELINE.json "sintel.mpg" row): long-form
@@ -767,7 +899,7 @@ def main():
             "out = []\n"
             "def one_pass(fmt, dev):\n"
             "    dec = BatchAudioDecoder(adata, window=64, out_format=fmt,\n"
-            "                            out_device=dev)\n"
+            "                            out_device=dev, prefetch=True)\n"
             "    t0 = time.time(); total = 0; last = None\n"
             "    while (pcm := dec.decode_window()) is not None:\n"
             "        total += pcm.size // 2; last = pcm\n"

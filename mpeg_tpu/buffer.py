@@ -103,10 +103,16 @@ class Buffer:
             del self.data[:]
             self.bit_index = 0
         elif self.reader is None:
-            if pos != 0:
-                return
-            del self.data[:]
-            self.bit_index = 0
+            if not self.discard_read and pos <= len(self.data):
+                # Retained push buffer (discard disabled, e.g. the
+                # non-seekable tee's control window): every byte since
+                # stream start is still here, so any in-window position
+                # is addressable — demux probe/start-time save/restore
+                # positions through this.
+                self.bit_index = pos << 3
+            elif pos == 0:
+                del self.data[:]
+                self.bit_index = 0
 
     def tell(self) -> int:
         if self.reader is not None and self.total_size > 0:

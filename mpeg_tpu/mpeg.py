@@ -55,7 +55,41 @@ class MPEG:
         self.backend = backend if backend is not None \
             else self.config.backend
         buf = Buffer(reader, chunk_size=self.config.buffer_size)
-        buf.set_load_callback(buf.load_reader_callback)
+        self._seekable = buf.seekable()
+
+        # Engine selection BEFORE the first read: both source classes
+        # run the fully-native pipeline (demux + ES parsers in one C++
+        # object, zero per-packet Python).  Seekable sources use an
+        # independent sequential feeder; non-seekable sources (pipes,
+        # push-style readers) are single-pass, so one TeeFeeder reads
+        # each chunk exactly once and fans it out to the pipeline and
+        # the control-plane window — with seek/rewind degraded exactly
+        # as the reference degrades non-seekable sources
+        # (buffer.go:74-76; mpeg.go:137,515).
+        self._pipeline = None
+        self._feeder = None
+        parser = self.config.parser
+        if parser == "auto":
+            from . import native as native_mod
+            parser = "native" if native_mod.available() else "python"
+        if parser == "native":
+            from . import native as native_mod
+            if native_mod.available():
+                self._pipeline = native_mod.NativePipeline()
+                if self._seekable:
+                    from .pipeline import ReaderFeeder
+                    buf.set_load_callback(buf.load_reader_callback)
+                    self._feeder = ReaderFeeder(reader,
+                                                self.config.buffer_size)
+                else:
+                    from .pipeline import TeeFeeder
+                    buf = Buffer(None)
+                    buf.discard_read = False
+                    self._feeder = TeeFeeder(reader, buf, self._pipeline,
+                                             self.config.buffer_size)
+                    buf.set_load_callback(self._feeder.control_refill)
+        if self._pipeline is None:
+            buf.set_load_callback(buf.load_reader_callback)
 
         if not buf.has(32):
             raise InvalidMpegError("invalid MPEG-PS")
@@ -67,23 +101,6 @@ class MPEG:
             self.demux = Demux(buf)
         except InvalidHeaderError as e:
             raise InvalidMpegError(str(e)) from e
-
-        # Engine selection: the native pipeline needs a seekable source
-        # (the control-plane demuxer shares the reader); push-style /
-        # non-seekable sources keep the Python packet routing.
-        self._pipeline = None
-        self._feeder = None
-        parser = self.config.parser
-        if parser == "auto":
-            from . import native as native_mod
-            parser = "native" if native_mod.available() else "python"
-        if parser == "native" and buf.seekable():
-            from . import native as native_mod
-            if native_mod.available():
-                from .pipeline import ReaderFeeder
-                self._pipeline = native_mod.NativePipeline()
-                self._feeder = ReaderFeeder(reader,
-                                            self.config.buffer_size)
 
         self.time = 0.0
         self.loop = False
@@ -259,6 +276,11 @@ class MPEG:
         return self.demux.has_ended()
 
     def rewind(self) -> None:
+        if self._pipeline is not None and not self._seekable:
+            # Non-seekable sources cannot be re-read (reference
+            # contract: buffer.go:74-76); reset the clock only.
+            self.time = 0.0
+            return
         if self.video_decoder is not None:
             self.video_decoder.rewind()
         if self.audio_decoder is not None:
@@ -354,6 +376,10 @@ class MPEG:
         if not self._init_decoders():
             return None
         if self.video_packet_type == 0:
+            return None
+        if not self._seekable:
+            # Seek targets cannot be located on a single-pass source
+            # (reference: Seek is documented seekable-only, mpeg.go:515).
             return None
 
         typ = self.video_packet_type

@@ -21,7 +21,7 @@ class BatchAudioDecoder:
     def __init__(self, data: bytes, window: int = 32,
                  use_native: bool = None, streaming: bool = False,
                  stats=None, out_format: str = "f32",
-                 out_device: bool = False):
+                 out_device: bool = False, prefetch: bool = False):
         """streaming: bytes arrive incrementally via feed(); call
         signal_end() at source exhaustion (decode_window returns the
         frames buffered so far in the meantime).
@@ -76,6 +76,64 @@ class BatchAudioDecoder:
         self._ended = not streaming
         self._pending: list = []
         self.stats = stats
+
+        # Prefetch: a producer thread parses the next window while the
+        # consumer synthesizes the current one (ctypes parse releases
+        # the GIL; mirrors BatchVideoDecoder's prefetch semantics incl.
+        # poisoning after close() or a producer error).
+        self._prefetch_q = None
+        self._prefetch_err: Optional[BaseException] = None
+        self._prefetch_done = False
+        self._closed = False
+        if prefetch:
+            if streaming:
+                raise ValueError("prefetch requires a complete source "
+                                 "(streaming=False)")
+            import queue as queue_mod
+            import threading
+            self._prefetch_q = queue_mod.Queue(maxsize=2)
+            self._prefetch_t = threading.Thread(
+                target=self._prefetch_producer, daemon=True)
+            self._prefetch_t.start()
+
+    def _prefetch_producer(self) -> None:
+        import time
+        try:
+            while not self._closed:
+                t0 = time.perf_counter()
+                frames = []
+                while len(frames) < self.window:
+                    f = self._parse_frame()
+                    if f is None:
+                        break
+                    frames.append(f)
+                if self.stats is not None:
+                    self.stats.host_seconds += time.perf_counter() - t0
+                if frames:
+                    self._prefetch_q.put(frames)
+                if len(frames) < self.window:
+                    break
+        except BaseException as e:   # noqa: BLE001 — handed to consumer
+            self._prefetch_err = e
+        self._prefetch_q.put(None)   # end sentinel
+
+    def close(self) -> None:
+        """Stop the prefetch producer and poison further decode (any
+        prefetched-but-unconsumed windows are discarded, so resuming
+        would skip frames — decode_window returns None from now on)."""
+        self._closed = True
+        if self._prefetch_q is not None:
+            import time
+            while self._prefetch_t.is_alive():   # unblock stuck put()s
+                try:
+                    self._prefetch_q.get_nowait()
+                except Exception:   # noqa: BLE001 — queue.Empty
+                    time.sleep(0.01)
+            while True:   # drop remaining windows + end sentinel
+                try:
+                    self._prefetch_q.get_nowait()
+                except Exception:   # noqa: BLE001 — queue.Empty
+                    break
 
     def _make_native(self, data: bytes):
         if self._streaming:
@@ -167,20 +225,35 @@ class BatchAudioDecoder:
         import jax.numpy as jnp
         import time
 
-        t_parse = time.perf_counter()
-        while len(self._pending) < self.window:
-            f = self._parse_frame()
-            if f is None:
-                break
-            self._pending.append(f)
-        t_parse = time.perf_counter() - t_parse
-        if self.stats is not None:
-            self.stats.host_seconds += t_parse
-        if not self._pending:
+        if self._closed:
             return None
-        if len(self._pending) < self.window and not self._ended:
-            return None   # streaming: wait for a whole window
-        frames, self._pending = self._pending, []
+        if self._prefetch_q is not None:
+            if self._prefetch_done:
+                return None
+            frames = self._prefetch_q.get()
+            if self._prefetch_err is not None:
+                # Producer failed: poison like close() — prefetched
+                # windows were lost, resuming would skip frames.
+                self._closed = True
+                raise self._prefetch_err
+            if frames is None:
+                self._prefetch_done = True
+                return None
+        else:
+            t_parse = time.perf_counter()
+            while len(self._pending) < self.window:
+                f = self._parse_frame()
+                if f is None:
+                    break
+                self._pending.append(f)
+            t_parse = time.perf_counter() - t_parse
+            if self.stats is not None:
+                self.stats.host_seconds += t_parse
+            if not self._pending:
+                return None
+            if len(self._pending) < self.window and not self._ended:
+                return None   # streaming: wait for a whole window
+            frames, self._pending = self._pending, []
 
         if self._synth is None:
             # Parallel (scan-free) synthesis: all DCTs at once, windowed

@@ -67,6 +67,59 @@ class ReaderFeeder:
         self.ended = False
 
 
+class TeeFeeder:
+    """Single-pass chunk feed for NON-seekable sources (pipes, sockets,
+    push-style readers): every chunk read from the reader is fed to the
+    native pipeline AND — up to `control_cap` bytes — appended to the
+    retained control-plane Buffer the Python demuxer uses for headers,
+    probing and start-time estimation.
+
+    This mirrors the reference's degradation for non-seekable sources
+    (buffer.go:74-76: Seekable() is false; mpeg.go:137,515 document
+    Probe/Seek as seekable-only): steady-state decode runs at full
+    native-pipeline speed, while seek targets cannot be located and
+    duration is estimated only over the buffered prefix."""
+
+    CONTROL_CAP = 16 << 20   # control-plane window for headers/start-time
+
+    def __init__(self, reader, control_buf, pipe, chunk_size: int,
+                 control_cap: int = None):
+        self.reader = reader
+        self.control = control_buf
+        self.pipe = pipe
+        self.chunk_size = chunk_size
+        self.control_cap = control_cap or self.CONTROL_CAP
+        self.pos = 0
+        self.ended = False
+
+    def feed_next(self, pipe=None) -> bool:
+        """Feed one chunk to the pipeline (and the control window);
+        False when the source is exhausted."""
+        if self.ended:
+            return False
+        data = self.reader.read(self.chunk_size)
+        if not data:
+            self.ended = True
+            self.pipe.signal_end()
+            self.control.signal_end()
+            return False
+        self.pos += len(data)
+        self.pipe.feed(data)
+        if self.pos <= self.control_cap:
+            self.control.write(data)
+        return True
+
+    def control_refill(self, _buffer=None) -> None:
+        """Load callback for the control Buffer — the refill is the tee,
+        so the pipeline sees every byte exactly once, in order."""
+        self.feed_next()
+
+    def reset(self, pos: int = 0) -> None:
+        """Non-seekable: the stream cannot be re-read; position state is
+        left untouched (reference contract: rewind/seek need a seekable
+        reader, buffer.go:74-76)."""
+
+
 class PipelineVideo(Video):
     """Video surface over the native pipeline: decode() pulls picture
     plans straight from C++ (which demuxes internally), then reconstructs

@@ -29,6 +29,33 @@ constexpr int START_USER_DATA = 0xB2;
 struct CorruptStream {};    // invalid VLC prefix (unreachable prefixes)
 struct Truncated {};        // bit read past the end of available data
 
+// Growable POD array with caller-managed capacity checks: the record
+// pools append up to 64 records per coded block, so one ensure() per
+// block replaces a size/capacity branch per record (std::vector's
+// push_back was ~6% of parse).
+template <typename T>
+struct PodVec {
+    T* p = nullptr;
+    size_t n = 0, cap = 0;
+    PodVec() = default;
+    PodVec(const PodVec&) = delete;
+    PodVec& operator=(const PodVec&) = delete;
+    ~PodVec() { std::free(p); }
+    void ensure(size_t extra) {
+        if (n + extra > cap) {
+            size_t nc = cap ? cap * 2 : 4096;
+            while (nc < n + extra) nc *= 2;
+            p = (T*)std::realloc(p, nc * sizeof(T));
+            cap = nc;
+        }
+    }
+    void push(T v) { p[n++] = v; }   // capacity ensured by the caller
+    void clear() { n = 0; }
+    T* data() { return p; }
+    const T* data() const { return p; }
+    size_t size() const { return n; }
+};
+
 // ---------------------------------------------------------------------------
 // Bit reader over the whole buffered ES (no refill callbacks: the caller
 // feeds bytes; parse_picture only runs when a whole picture is buffered
@@ -414,10 +441,10 @@ struct VideoParser {
     };
     std::vector<RecSeg> rec_segs;       // per coded-block record segments
     std::vector<int32_t> seg_of;        // bid -> its live segment index
-    std::vector<uint32_t> rec_midx;     // idx = bid * 64 + pos (pic-rel)
-    std::vector<int16_t> rec_mval;
-    std::vector<uint32_t> rec_eidx;
-    std::vector<int32_t> rec_eval;
+    PodVec<uint32_t> rec_midx;          // idx = bid * 64 + pos (pic-rel)
+    PodVec<int16_t> rec_mval;
+    PodVec<uint32_t> rec_eidx;
+    PodVec<int32_t> rec_eval;
 
     void mark_dirty(int mb) {
         if (dirty_stamp.empty()) return;   // dense mode: no tracking
@@ -450,17 +477,21 @@ struct VideoParser {
         uint32_t m0 = (uint32_t)rec_midx.size();
         uint32_t e0 = (uint32_t)rec_eidx.size();
         uint32_t base = (uint32_t)(pool_base + (int64_t)bid * 64);
+        rec_midx.ensure(64);
+        rec_mval.ensure(64);
+        rec_eidx.ensure(64);
+        rec_eval.ensure(64);
         for (uint64_t occ = scratch_occ; occ; occ &= occ - 1) {
             int j = __builtin_ctzll(occ);
             int32_t q = block_quot[j];
             if (q == 0) continue;   // e.g. a zero intra DC
-            if (q >= -32768 && q <= 32767) {
-                rec_midx.push_back(base + (uint32_t)j);
-                rec_mval.push_back((int16_t)q);
+            if (__builtin_expect(q >= -32768 && q <= 32767, 1)) {
+                rec_midx.push(base + (uint32_t)j);
+                rec_mval.push((int16_t)q);
             } else {
                 // escape carries the full coefficient (level * premult)
-                rec_eidx.push_back(base + (uint32_t)j);
-                rec_eval.push_back(block_data[j]);
+                rec_eidx.push(base + (uint32_t)j);
+                rec_eval.push(block_data[j]);
             }
         }
         int m = (int)(rec_midx.size() - m0);
@@ -704,7 +735,7 @@ struct VideoParser {
         }
     }
 
-    void decode_block(int block) {
+    __attribute__((always_inline)) void decode_block(int block) {
         int n = 0;
         const uint8_t* quant;
 
@@ -1283,7 +1314,10 @@ struct AudioParser {
         samplerate_index = si;
         mode = md;
         has_header_flag = true;
-        channels = (md == 0x3) ? 1 : 2;
+        // Parity quirk (audio.go:237-241): dual-channel (0x2) leaves
+        // the channel count untouched; decode still runs 2 channels.
+        if (md == 0x0 || md == 0x1) channels = 2;
+        else if (md == 0x3) channels = 1;
 
         if (md == 0x1) {                       // joint stereo
             bound = (br.read(2) + 1) << 2;
