@@ -817,19 +817,30 @@ def main():
         th = threading.Thread(target=parse64_thread, daemon=True)
         t0 = time.time()
         th.start()
+        wait_s = h2d_s = 0.0
         for _ in range(E64):
+            t = time.perf_counter()
             blob, slot = q64.get()
+            wait_s += time.perf_counter() - t
+            t = time.perf_counter()
             dev = jax.device_put(blob)
             dev.block_until_ready()
+            h2d_s += time.perf_counter() - t
             ring64.release(slot)
             carry64, disps = vscan64(carry64, dev)
         jax.block_until_ready(disps)
         dt = time.time() - t0
         th.join()
+        # Attribution: this leg moves 58 MB/round — on the tunneled
+        # link it is h2d-bound, on real PCIe it is parse-bound; the
+        # split makes the driver artifact say which.
         log(f"64-STREAM e2e (parse || h2d+dispatch): "
             f"{S64 * W64 * E64} frames in {dt:.1f}s -> "
             f"{S64 * W64 * E64 / dt:.0f} fps/chip "
-            f"({S64 * W64 * E64 / dt / S64:.1f} fps/stream)")
+            f"({S64 * W64 * E64 / dt / S64:.1f} fps/stream); "
+            f"parse-wait {wait_s:.1f}s | h2d {h2d_s:.1f}s "
+            f"({blob.nbytes * E64 / max(h2d_s, 1e-9) / 1e6:.0f} MB/s) "
+            f"of {dt:.1f}s wall")
 
     def secondary_longform():
         """North-star config (BASELINE.json "sintel.mpg" row): long-form

@@ -400,24 +400,39 @@ _PALLAS_VMEM_BUDGET = 15 << 20
 def _resolve_recon(recon: str, geom: FrameGeometry) -> str:
     if recon != "auto":
         return recon
-    import jax
-    if jax.devices()[0].platform != "tpu":
-        return "xla"   # interpret-mode Pallas is far too slow off-TPU
+    import os
+    forced = os.environ.get("MPEG_TPU_RECON", "")
+    if forced in ("xla", "pallas"):
+        return forced
+    # Evidence-based default (the bench JSON records the numbers that
+    # justify it every run, "recon" block): quiet ms/pic ties within
+    # noise (BENCH_r04: xla 0.058 | pallas 0.053; BENCH_r03: 0.073 |
+    # 0.090), but with concurrent h2d traffic — the production
+    # pipeline's steady state — the many-op XLA program outruns the
+    # single fused custom call ~6x (BENCH_r04 contended: 0.044 vs
+    # 0.280 ms/pic) and sustained healthy laps run ~10% faster.
+    # Round 3's opposite contention claim did not reproduce under
+    # driver-visible measurement, so auto picks XLA; the fused Pallas
+    # kernel stays one flag away (recon="pallas" / MPEG_TPU_RECON).
+    return "xla"
+
+
+def _pallas_vmem_fits(geom: FrameGeometry) -> bool:
+    """True when the unified Pallas reconstruct's working set fits the
+    VMEM budget (mirrors reconstruct_picture_pallas's ext() exactly:
+    stack views padded to 8-row multiples and to the wider of
+    stride+ext vs the 128-aligned gather window; plus double-buffered
+    cur u8 + res i32 + mask i8 + out u8 row blocks)."""
     from ..ops.video_recon import _EXT_COLS
-    # Mirror reconstruct_picture_pallas's ext() exactly: the stack views
-    # are padded to 8-row multiples (rows2p) and to the wider of
-    # stride+ext vs the 128-aligned gather window requirement.
     est = 0
     for stride in (geom.luma_width, geom.chroma_width):
         rows2 = 2 * geom.total_size // stride
         rows2p = max(-(-rows2 // 8) * 8, 16)   # _U_TILE_ROWS
         cols = max(stride + _EXT_COLS, ((stride - 1) >> 7 << 7) + 256)
         est += rows2p * cols
-    # Double-buffered (8, wp) row blocks: cur u8 + res i32 + mask i8 +
-    # out u8 = 7 bytes/px per buffer stage.
     mbwp = -(-geom.mb_width // 8) * 8
     est += 2 * 8 * (16 * mbwp) * 7
-    return "pallas" if est <= _PALLAS_VMEM_BUDGET else "xla"
+    return est <= _PALLAS_VMEM_BUDGET
 
 
 def make_scan_step(geom: FrameGeometry, emit_rgba: bool = False,
@@ -427,11 +442,11 @@ def make_scan_step(geom: FrameGeometry, emit_rgba: bool = False,
 
     recon: "pallas" (the single-dispatch fused kernel,
     ops/pallas_kernels.reconstruct_picture_pallas), "xla" (sliced-gather
-    formulation) or "auto" (default: pallas on TPU where the geometry
-    fits its VMEM budget, xla otherwise).  Both are bit-exact; on a
-    quiet v5e they tie at the HBM floor (~0.02 ms/1080p picture), but
-    under tunnel/host contention the many-op XLA program amplifies
-    per-op stalls ~6-50x while the single-custom-call kernel holds.
+    formulation) or "auto" (default: xla — see _resolve_recon for the
+    driver-recorded evidence; override per-process with the
+    MPEG_TPU_RECON env var).  Both are bit-exact and tie at the HBM
+    floor on a quiet chip; under concurrent h2d traffic XLA holds and
+    the fused custom call stalls ~6x (BENCH_r04 "recon" block).
     """
     import jax.numpy as jnp
 
