@@ -686,20 +686,56 @@ struct VideoParser {
         return motion;
     }
 
+    // Both components of one motion vector from a single 64-bit window
+    // (11-bit code + <= 6 residual bits, twice = <= 41 bits incl. the
+    // byte phase) — one load instead of up to four.
+    void decode_motion_pair(Motion& m) {
+        int r_size = m.r_size;
+        int64_t byte_pos = br.bit >> 3;
+        if (byte_pos + 8 > br.size) {   // buffer tail: generic path
+            m.h = decode_motion_vector(r_size, m.h);
+            m.v = decode_motion_vector(r_size, m.v);
+            return;
+        }
+        uint64_t w = br.window64(byte_pos);
+        int off = (int)(br.bit & 7);
+        int fscale = 1 << r_size;
+        int vals[2] = {m.h, m.v};
+        for (int i = 0; i < 2; i++) {
+            uint32_t idx = (uint32_t)((w >> (64 - off - MOTION_BITS)) &
+                                      ((1u << MOTION_BITS) - 1));
+            int len = MOTION_LEN[idx];
+            if (len == 0) throw CorruptStream{};
+            off += len;
+            int m_code = (int)MOTION_VAL[idx];
+            int d;
+            if (m_code != 0 && fscale != 1) {
+                int r = (int)((w >> (64 - off - r_size)) &
+                              ((1 << r_size) - 1));
+                off += r_size;
+                d = (((m_code < 0 ? -m_code : m_code) - 1) << r_size) + r + 1;
+                if (m_code < 0) d = -d;
+            } else {
+                d = m_code;
+            }
+            int motion = vals[i] + d;
+            if (motion > (fscale << 4) - 1) motion -= fscale << 5;
+            else if (motion < -(fscale << 4)) motion += fscale << 5;
+            vals[i] = motion;
+        }
+        br.bit = (byte_pos << 3) + off;
+        m.h = vals[0];
+        m.v = vals[1];
+    }
+
     void decode_motion_vectors() {
         if (fwd.is_set) {
-            int r_size = fwd.r_size;
-            fwd.h = decode_motion_vector(r_size, fwd.h);
-            fwd.v = decode_motion_vector(r_size, fwd.v);
+            decode_motion_pair(fwd);
         } else if (picture_type == PIC_P) {
             fwd.h = 0;
             fwd.v = 0;
         }
-        if (bwd.is_set) {
-            int r_size = bwd.r_size;
-            bwd.h = decode_motion_vector(r_size, bwd.h);
-            bwd.v = decode_motion_vector(r_size, bwd.v);
-        }
+        if (bwd.is_set) decode_motion_pair(bwd);
     }
 
     void predict_macroblock() {
