@@ -155,15 +155,23 @@ struct BitReader {
 
     // Next byte-aligned 00 00 01 xx start code; -1 when exhausted.
     // Parity with buffer.go:279-302 (resting position 4 bytes from end).
+    // memchr-driven: jump between 0x01 bytes (SIMD) instead of a
+    // byte-at-a-time triple compare.
     int next_start_code() {
         align();
         int64_t stop = size - 4;
-        int64_t i = bit >> 3;
-        for (; i < stop; i++) {
-            if (data[i] == 0x00 && data[i + 1] == 0x00 && data[i + 2] == 0x01) {
-                bit = (i + 4) << 3;
-                return data[i + 3];
+        int64_t from = (bit >> 3) + 2;
+        int64_t limit = stop + 2;   // exclusive bound for the 0x01 byte
+        while (from < limit) {
+            const uint8_t* hit = (const uint8_t*)std::memchr(
+                data + from, 0x01, (size_t)(limit - from));
+            if (hit == nullptr) break;
+            int64_t m = hit - data;
+            if (data[m - 2] == 0x00 && data[m - 1] == 0x00) {
+                bit = (m + 2) << 3;
+                return data[m + 1];
             }
+            from = m + 1;
         }
         if (stop > (bit >> 3)) bit = stop << 3;
         return -1;
@@ -1256,7 +1264,10 @@ struct VideoParser {
                 start_code = br.find_start_code(START_PICTURE);
                 if (start_code == -1) return 0;
             }
-            if (br.has_start_code(START_PICTURE) == -1 && !ended) return 0;
+            // When the stream has ended, the whole-picture-buffered
+            // check is moot — skip the lookahead scan (it re-scans to
+            // the NEXT picture header, ~a picture's bytes, per call).
+            if (!ended && br.has_start_code(START_PICTURE) == -1) return 0;
             compact();
             if (decode_picture()) return picture_type;
             // D-frame / invalid: keep scanning.
