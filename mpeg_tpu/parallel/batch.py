@@ -398,12 +398,22 @@ _PALLAS_VMEM_BUDGET = 15 << 20
 
 
 def _resolve_recon(recon: str, geom: FrameGeometry) -> str:
+    if recon == "auto":
+        import os
+        forced = os.environ.get("MPEG_TPU_RECON", "")
+        if forced in ("xla", "pallas"):
+            recon = forced
+    if recon == "pallas":
+        # Fail with arithmetic instead of a Mosaic VMEM allocation
+        # error deep inside compilation.
+        if not _pallas_vmem_fits(geom):
+            raise ValueError(
+                f"recon='pallas': {geom.width}x{geom.height} exceeds "
+                f"the unified kernel's ~15 MB VMEM budget; use "
+                f"recon='xla'")
+        return "pallas"
     if recon != "auto":
         return recon
-    import os
-    forced = os.environ.get("MPEG_TPU_RECON", "")
-    if forced in ("xla", "pallas"):
-        return forced
     # Evidence-based default (the bench JSON records the numbers that
     # justify it every run, "recon" block): quiet ms/pic ties within
     # noise (BENCH_r04: xla 0.058 | pallas 0.053; BENCH_r03: 0.073 |

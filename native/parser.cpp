@@ -973,11 +973,36 @@ struct VideoParser {
 
     void decode_macroblock() {
         int increment = 0;
-        int t = br.read_vlc(MB_ADDR_INC_VAL, MB_ADDR_INC_LEN, MB_ADDR_INC_BITS);
-        while (t == 34) t = br.read_vlc(MB_ADDR_INC_VAL, MB_ADDR_INC_LEN, MB_ADDR_INC_BITS);
-        while (t == 35) {
-            increment += 33;
+        // Shared-window fast path: the address-increment VLC, the
+        // macroblock-type VLC and the optional 5-bit quantizer all fit
+        // one 64-bit load (<= 11 + 6 + 5 bits + 7 phase).  Stuffing/
+        // escape codes (34/35), buffer tails and anything odd fall back
+        // to the generic bit-serial reads with nothing consumed.
+        int64_t byte_pos = br.bit >> 3;
+        uint64_t w = 0;
+        int off = -1;               // >= 0 while the fast window is live
+        int t;
+        if (byte_pos + 8 <= br.size) {
+            w = br.window64(byte_pos);
+            int o = (int)(br.bit & 7);
+            uint32_t idx = (uint32_t)((w >> (64 - o - MB_ADDR_INC_BITS)) &
+                                      ((1u << MB_ADDR_INC_BITS) - 1));
+            int len = MB_ADDR_INC_LEN[idx];
+            if (len == 0) throw CorruptStream{};
+            int v = (int)MB_ADDR_INC_VAL[idx];
+            if (v < 34) {
+                off = o + len;
+                br.bit = (byte_pos << 3) + off;
+                t = v;
+            }
+        }
+        if (off < 0) {
             t = br.read_vlc(MB_ADDR_INC_VAL, MB_ADDR_INC_LEN, MB_ADDR_INC_BITS);
+            while (t == 34) t = br.read_vlc(MB_ADDR_INC_VAL, MB_ADDR_INC_LEN, MB_ADDR_INC_BITS);
+            while (t == 35) {
+                increment += 33;
+                t = br.read_vlc(MB_ADDR_INC_VAL, MB_ADDR_INC_LEN, MB_ADDR_INC_BITS);
+            }
         }
         increment += t;
 
@@ -1006,16 +1031,41 @@ struct VideoParser {
         mb_col = mb_address % mb_width;
         if (mb_col >= mb_width || mb_row >= mb_height) return;
 
-        switch (picture_type) {
-            case PIC_I: mb_type = br.read_vlc(MB_TYPE_I_VAL, MB_TYPE_I_LEN, MB_TYPE_I_BITS); break;
-            case PIC_P: mb_type = br.read_vlc(MB_TYPE_P_VAL, MB_TYPE_P_LEN, MB_TYPE_P_BITS); break;
-            default:    mb_type = br.read_vlc(MB_TYPE_B_VAL, MB_TYPE_B_LEN, MB_TYPE_B_BITS); break;
+        if (off >= 0) {
+            // Same window (off <= 7 + 11 here; + 6 + 5 stays < 64).
+            const int16_t* tv;
+            const uint8_t* tl;
+            int tb;
+            switch (picture_type) {
+                case PIC_I: tv = MB_TYPE_I_VAL; tl = MB_TYPE_I_LEN;
+                            tb = MB_TYPE_I_BITS; break;
+                case PIC_P: tv = MB_TYPE_P_VAL; tl = MB_TYPE_P_LEN;
+                            tb = MB_TYPE_P_BITS; break;
+                default:    tv = MB_TYPE_B_VAL; tl = MB_TYPE_B_LEN;
+                            tb = MB_TYPE_B_BITS; break;
+            }
+            uint32_t idx = (uint32_t)((w >> (64 - off - tb)) &
+                                      ((1u << tb) - 1));
+            int len = tl[idx];
+            if (len == 0) throw CorruptStream{};
+            mb_type = (int)tv[idx];
+            off += len;
+            if (mb_type & 0x10) {
+                quantizer_scale = (int)((w >> (64 - off - 5)) & 31);
+                off += 5;
+            }
+            br.bit = (byte_pos << 3) + off;
+        } else {
+            switch (picture_type) {
+                case PIC_I: mb_type = br.read_vlc(MB_TYPE_I_VAL, MB_TYPE_I_LEN, MB_TYPE_I_BITS); break;
+                case PIC_P: mb_type = br.read_vlc(MB_TYPE_P_VAL, MB_TYPE_P_LEN, MB_TYPE_P_BITS); break;
+                default:    mb_type = br.read_vlc(MB_TYPE_B_VAL, MB_TYPE_B_LEN, MB_TYPE_B_BITS); break;
+            }
+            if (mb_type & 0x10) quantizer_scale = br.read(5);
         }
         mb_intra = (mb_type & 0x01) != 0;
         fwd.is_set = (mb_type & 0x08) != 0;
         bwd.is_set = (mb_type & 0x04) != 0;
-
-        if (mb_type & 0x10) quantizer_scale = br.read(5);
 
         if (mb_intra) {
             bwd.h = fwd.h = 0;
