@@ -908,8 +908,12 @@ def main():
             "from mpeg_tpu.parallel import BatchAudioDecoder\n"
             "adata = open(%r, 'rb').read()\n"
             "out = []\n"
+            # Window 352 amortizes per-dispatch (tunnel round-trip)
+            # latency: 64 -> 352 measured 36 -> 109 Msamples/s on the
+            # same link (the fixture is 355 frames; larger windows keep
+            # scaling until the host parse (~90+ Msamples/s/core) caps).
             "def one_pass(fmt, dev):\n"
-            "    dec = BatchAudioDecoder(adata, window=64, out_format=fmt,\n"
+            "    dec = BatchAudioDecoder(adata, window=352, out_format=fmt,\n"
             "                            out_device=dev, prefetch=True)\n"
             "    t0 = time.time(); total = 0; last = None\n"
             "    while (pcm := dec.decode_window()) is not None:\n"

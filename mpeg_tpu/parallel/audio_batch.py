@@ -36,6 +36,10 @@ class BatchAudioDecoder:
         out_device: decode_window returns device-resident jax arrays
         instead of numpy — no d2h at all; downstream device consumers
         (mixing, resampling, encoding) read PCM straight from HBM.
+        window: frames per device dispatch.  Throughput scales with it
+        until the host parse caps out (dispatch latency amortizes:
+        64 -> 352 measured 36 -> 109 Msamples/s on a tunneled link);
+        latency-sensitive callers keep it small.
         Both formats stay bit-exact: the f32 normalization uses the
         same exact-IEEE constant-divisor kernel as the S16 lane."""
         if out_format not in ("f32", "s16"):
