@@ -646,13 +646,18 @@ def main():
     # recording both every run makes recon="auto"'s choice auditable
     # from the driver artifact (VERDICT r3 weak #3).
     def contended(fn, iters=10):
+        """(ms/pic, pump MB/s actually achieved) — the pump rate is the
+        contention level, without which the A/B is uninterpretable
+        (tunnel weather makes 'contended' itself swing run to run)."""
         stop = []
+        pumped = [0]
         buf = np.empty(8 << 20, np.uint8)
         buf[:] = rng.integers(0, 256, buf.shape, np.uint8)  # incompressible
 
         def pump():
             while not stop:
                 jax.device_put(buf).block_until_ready()
+                pumped[0] += 1
 
         th = threading.Thread(target=pump, daemon=True)
         jax.block_until_ready(fn())
@@ -662,15 +667,17 @@ def main():
             for _ in range(iters):
                 out = fn()
             jax.block_until_ready(out)
-            return (time.perf_counter() - t0) / iters * 1000
+            dt = time.perf_counter() - t0
+            return dt / iters * 1000, pumped[0] * buf.nbytes / dt / 1e6
         finally:
             stop.append(True)
             th.join()
 
-    t_xla_c = contended(xla_fn)
-    t_pal_c = contended(pal_fn)
+    t_xla_c, pump_xla = contended(xla_fn)
+    t_pal_c, pump_pal = contended(pal_fn)
     log(f"reconstruct contended (concurrent 8MB h2d pump): "
-        f"xla {t_xla_c:.3f} ms/pic | pallas {t_pal_c:.3f} ms/pic -> "
+        f"xla {t_xla_c:.3f} ms/pic (pump {pump_xla:.0f} MB/s) | "
+        f"pallas {t_pal_c:.3f} ms/pic (pump {pump_pal:.0f} MB/s) -> "
         f"{'xla' if t_xla_c <= t_pal_c else 'pallas'} wins")
 
     # The headline JSON goes out BEFORE the secondary metrics: the shared
@@ -702,6 +709,7 @@ def main():
         "recon": {"xla_ms": round(t_xla, 3), "pallas_ms": round(t_pal, 3),
                   "xla_contended_ms": round(t_xla_c, 3),
                   "pallas_contended_ms": round(t_pal_c, 3),
+                  "contended_pump_mbs": [round(pump_xla), round(pump_pal)],
                   "auto_picks": _resolve_recon("auto", geom)},
     }), flush=True)
 
