@@ -50,6 +50,11 @@ def _build_if_needed() -> str:
     so = os.path.join(out_dir, f"libmpegtpu-{digest}.so")
     if not os.path.exists(so):
         tmp = so + f".tmp{os.getpid()}"
+        # NOTE: profile-guided optimization was evaluated (round 4) and
+        # rejected: a profile trained on one content class measured
+        # +14% on matching content but -18% on mismatched content —
+        # PGO on any fixed sample overfits codec statistics (coefficient
+        # density, code lengths, MB modes) that vary per stream.
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
              "-march=native", src, "-o", tmp],
