@@ -128,3 +128,32 @@ def test_joint_stereo_bound_values():
         a = mpeg.Audio(buf, backend="numpy", parser="python")
         assert a.decode() is not None
         assert a.bound == (me + 1) << 2
+
+
+def test_stereo_through_ps_pipeline(mpeg1video_path):
+    """True stereo MP2 muxed into a program stream and decoded through
+    the high-level MPEG class (fully-native PS pipeline): the audio PCM
+    matches the ES-path golden for the same stream."""
+    import io
+
+    from ps_mux import mux  # tools/ on sys.path via the gen_mp2 import
+
+    cfg = CONFIGS[1]   # stereo_48k_384, 24 frames = 0.576 s
+    audio_es = _stream(cfg)
+    video_es = open(mpeg1video_path, "rb").read()
+    out = io.BytesIO()
+    mux(video_es, audio_es, video_seconds=260 / 30.0,
+        audio_seconds=24 * 1152 / 48000.0, target_seconds=2.0, out=out)
+
+    m = mpeg.MPEG(out.getvalue(), backend="numpy")
+    assert m.channels() == 2
+    assert m.samplerate() == 48000
+    h = Fnv1a64()
+    n = 0
+    # Hash exactly one loop of the 24-frame source: the mux loops it.
+    while n < 24 and (s := m.decode_audio()) is not None:
+        h.write(s.interleaved.astype("<f4").tobytes())
+        assert not np.array_equal(s.left, s.right) or s.interleaved.max() == 0
+        n += 1
+    assert n == 24
+    assert h.sum64() == cfg[-1], hex(h.sum64())
