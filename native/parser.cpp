@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <new>
 #include <vector>
 
 #include "vlc_tables.h"
@@ -45,7 +46,9 @@ struct PodVec {
         if (n + extra > cap) {
             size_t nc = cap ? cap * 2 : 4096;
             while (nc < n + extra) nc *= 2;
-            p = (T*)std::realloc(p, nc * sizeof(T));
+            T* np_ = (T*)std::realloc(p, nc * sizeof(T));
+            if (np_ == nullptr) throw std::bad_alloc{};
+            p = np_;
             cap = nc;
         }
     }
