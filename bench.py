@@ -645,9 +645,12 @@ def main():
     # Pallas kernel holds and the many-op XLA program amplifies stalls;
     # recording both every run makes recon="auto"'s choice auditable
     # from the driver artifact (VERDICT r3 weak #3).
-    def contended(fn, iters=10):
-        """(ms/pic, pump MB/s actually achieved) — the pump rate is the
-        contention level, without which the A/B is uninterpretable
+    def contended(fn, min_s=1.5):
+        """(ms/pic, pump MB/s initiated) — time-based so the window
+        spans several pump transfers even on a slow link (an 8 MB put
+        takes ~140 ms at 57 MB/s; a fixed-iteration A/B finished before
+        the first transfer and measured nothing).  The pump rate is the
+        contention level, without which the numbers are uninterpretable
         (tunnel weather makes 'contended' itself swing run to run)."""
         stop = []
         pumped = [0]
@@ -656,19 +659,22 @@ def main():
 
         def pump():
             while not stop:
+                pumped[0] += 1   # counted at initiation (in-flight too)
                 jax.device_put(buf).block_until_ready()
-                pumped[0] += 1
 
         th = threading.Thread(target=pump, daemon=True)
         jax.block_until_ready(fn())
         th.start()
         try:
             t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn()
-            jax.block_until_ready(out)
+            k = 0
+            while time.perf_counter() - t0 < min_s:
+                for _ in range(20):   # pipelined batch, then sync
+                    out = fn()
+                jax.block_until_ready(out)
+                k += 20
             dt = time.perf_counter() - t0
-            return dt / iters * 1000, pumped[0] * buf.nbytes / dt / 1e6
+            return dt / k * 1000, pumped[0] * buf.nbytes / dt / 1e6
         finally:
             stop.append(True)
             th.join()
