@@ -255,3 +255,45 @@ def test_native_pipeline_push_fed(mpg_path, monkeypatch):
     assert not m.seek(3.0, False)
     m.rewind()   # clock-only; must not blow up or re-read
     assert m.decode_video() is None   # stream is exhausted
+
+
+def test_push_fed_control_cap(mpg_path, tmp_path):
+    """A non-seekable stream larger than the TeeFeeder's control window
+    still decodes fully at native speed: headers/start-time come from
+    the teed prefix, and decode continues past the cap (the control
+    Buffer simply stops growing — bounded memory)."""
+    import io
+    import os
+    import sys
+
+    from mpeg_tpu import native
+    if not native.available():
+        pytest.skip("native parser unavailable")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from ps_mux import mux
+
+    video_es = open(os.path.join(os.path.dirname(__file__), "testdata",
+                                 "test.mpeg1video"), "rb").read()
+    audio_es = open(os.path.join(os.path.dirname(__file__), "testdata",
+                                 "test.mp2"), "rb").read()
+    out = io.BytesIO()
+    mux(video_es, audio_es, video_seconds=260 / 30.0,
+        audio_seconds=355 * 1152 / 44100.0, target_seconds=30.0, out=out)
+    data = out.getvalue()
+
+    cap = 1 << 20   # 1 MB control window << the ~10 MB stream
+    from mpeg_tpu.config import Config
+    m = mpeg.MPEG(_NoSeekReader(io.BytesIO(data)), backend="numpy")
+    m._feeder.control_cap = cap
+    frames = 0
+    while m.decode_video() is not None:
+        frames += 1
+        if frames % 200 == 0:
+            # Control window bounded at ~cap; native pipeline occupancy
+            # stays bounded by compaction + the (unconsumed) audio
+            # backlog of the stream decoded so far.
+            assert len(m.demux.buf.bytes()) <= cap + (128 << 10)
+    assert frames > 800           # decoded far past the control cap
+    assert m._feeder.pos == len(data)
