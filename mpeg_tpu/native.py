@@ -16,17 +16,18 @@ from typing import Optional
 
 import numpy as np
 
-def _native_dir() -> str:
+def _native_dir() -> Optional[str]:
     """Locate the C++ sources: `<repo>/native` in a source checkout,
     `mpeg_tpu/_native` in an installed distribution (pyproject maps the
-    same directory there)."""
+    same directory there).  None when absent (stripped installs) — the
+    error is raised from load() so available() degrades gracefully to
+    the pure-Python parsers instead of failing at import time."""
     pkg = os.path.dirname(os.path.abspath(__file__))
     for cand in (os.path.join(os.path.dirname(pkg), "native"),
                  os.path.join(pkg, "_native")):
         if os.path.exists(os.path.join(cand, "parser.cpp")):
             return cand
-    raise FileNotFoundError("mpeg_tpu native sources (parser.cpp) not "
-                            "found in repo or installed layout")
+    return None
 
 
 _NATIVE_DIR = _native_dir()
@@ -35,6 +36,9 @@ _lib = None
 
 
 def _build_if_needed() -> str:
+    if _NATIVE_DIR is None:
+        raise FileNotFoundError("mpeg_tpu native sources (parser.cpp) "
+                                "not found in repo or installed layout")
     src = os.path.join(_NATIVE_DIR, "parser.cpp")
     hdr = os.path.join(_NATIVE_DIR, "vlc_tables.h")
     digest = hashlib.sha256(

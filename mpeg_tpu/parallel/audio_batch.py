@@ -83,10 +83,11 @@ class BatchAudioDecoder:
 
         # Prefetch: a producer thread parses the next window while the
         # consumer synthesizes the current one (ctypes parse releases
-        # the GIL; mirrors BatchVideoDecoder's prefetch semantics incl.
-        # poisoning after close() or a producer error).
+        # the GIL; mirrors BatchVideoDecoder's prefetch semantics:
+        # weakref producer so an abandoned decoder is collectable,
+        # in-band exception delivery so already-parsed windows drain
+        # first, poisoning after close() or a producer error).
         self._prefetch_q = None
-        self._prefetch_err: Optional[BaseException] = None
         self._prefetch_done = False
         self._closed = False
         if prefetch:
@@ -95,31 +96,53 @@ class BatchAudioDecoder:
                                  "(streaming=False)")
             import queue as queue_mod
             import threading
-            self._prefetch_q = queue_mod.Queue(maxsize=2)
-            self._prefetch_t = threading.Thread(
-                target=self._prefetch_producer, daemon=True)
-            self._prefetch_t.start()
+            import weakref
+            self._prefetch_q = q = queue_mod.Queue(maxsize=2)
+            self._prefetch_stop = stop = []   # shared cell; close() appends
+            # The producer must not keep the decoder alive: it holds a
+            # weakref and exits when the decoder is collected, so an
+            # abandoned prefetch decoder (no close()) costs at most one
+            # 0.5 s poll cycle after GC instead of a permanent leak.
+            wr = weakref.ref(self)
 
-    def _prefetch_producer(self) -> None:
-        import time
-        try:
-            while not self._closed:
-                t0 = time.perf_counter()
-                frames = []
-                while len(frames) < self.window:
-                    f = self._parse_frame()
-                    if f is None:
-                        break
-                    frames.append(f)
-                if self.stats is not None:
-                    self.stats.host_seconds += time.perf_counter() - t0
-                if frames:
-                    self._prefetch_q.put(frames)
-                if len(frames) < self.window:
-                    break
-        except BaseException as e:   # noqa: BLE001 — handed to consumer
-            self._prefetch_err = e
-        self._prefetch_q.put(None)   # end sentinel
+            def producer():
+                import time
+                while True:
+                    dec = wr()
+                    if dec is None or stop:
+                        return
+                    try:
+                        t0 = time.perf_counter()
+                        frames = []
+                        while len(frames) < dec.window:
+                            f = dec._parse_frame()
+                            if f is None:
+                                break
+                            frames.append(f)
+                        if dec.stats is not None:
+                            dec.stats.host_seconds += \
+                                time.perf_counter() - t0
+                    except BaseException as e:   # noqa: BLE001
+                        q.put(e)   # in-band: good windows drain first
+                        return
+                    eos = len(frames) < dec.window
+                    del dec   # no strong decoder ref during the puts
+                    for item in ([frames] if frames else []) + \
+                            ([None] if eos else []):
+                        while True:
+                            if stop or wr() is None:
+                                return
+                            try:
+                                q.put(item, timeout=0.5)
+                                break
+                            except queue_mod.Full:
+                                pass
+                    if eos:
+                        return
+
+            self._prefetch_t = threading.Thread(target=producer,
+                                                daemon=True)
+            self._prefetch_t.start()
 
     def close(self) -> None:
         """Stop the prefetch producer and poison further decode (any
@@ -127,16 +150,18 @@ class BatchAudioDecoder:
         would skip frames — decode_window returns None from now on)."""
         self._closed = True
         if self._prefetch_q is not None:
+            self._prefetch_stop.append(True)
+            import queue as queue_mod
             import time
             while self._prefetch_t.is_alive():   # unblock stuck put()s
                 try:
                     self._prefetch_q.get_nowait()
-                except Exception:   # noqa: BLE001 — queue.Empty
+                except queue_mod.Empty:
                     time.sleep(0.01)
             while True:   # drop remaining windows + end sentinel
                 try:
                     self._prefetch_q.get_nowait()
-                except Exception:   # noqa: BLE001 — queue.Empty
+                except queue_mod.Empty:
                     break
 
     def _make_native(self, data: bytes):
@@ -235,11 +260,13 @@ class BatchAudioDecoder:
             if self._prefetch_done:
                 return None
             frames = self._prefetch_q.get()
-            if self._prefetch_err is not None:
-                # Producer failed: poison like close() — prefetched
-                # windows were lost, resuming would skip frames.
+            if isinstance(frames, BaseException):
+                # Producer failed: poison like close() — windows the
+                # producer parsed past the failure are lost, resuming
+                # would skip frames.  (Good windows queued BEFORE the
+                # failure were delivered in order first.)
                 self._closed = True
-                raise self._prefetch_err
+                raise frames
             if frames is None:
                 self._prefetch_done = True
                 return None

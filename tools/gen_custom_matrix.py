@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from mpeg_tpu.tables import ZIG_ZAG
 
+from gen_mp2 import BitWriter   # sibling tool (same bit conventions)
+
 # Deterministic non-default matrices (values 1..255, natural order).
 CUSTOM_INTRA = tuple(((8 + 3 * i) % 254) + 1 for i in range(64))
 CUSTOM_NON_INTRA = tuple(((16 + 5 * i) % 254) + 1 for i in range(64))
@@ -45,30 +47,18 @@ def splice_custom_matrices(es: bytes,
             raise ValueError("sequence header already loads matrices")
         out += es[pos:hdr_start]
         out += hdr[:7]
-        # last fixed byte: 6 fixed bits | load_intra=1, then 511 full
-        # matrix bits land in the next 64 bytes shifted by 1... keep it
-        # simple with a bit-writer over the 1088-bit tail.
-        bits = []
-
-        def put(v, n):
-            for k in range(n - 1, -1, -1):
-                bits.append((v >> k) & 1)
-
-        put(hdr[7] >> 2, 6)       # the 6 fixed bits of byte 7
-        put(1, 1)                 # load_intra_quantiser_matrix
+        # Rewrite the tail from the 6 remaining fixed bits: both load
+        # flags set + the two matrices in zig-zag stream order
+        # (6 + 1 + 512 + 1 + 512 = 1032 bits, exactly 129 bytes).
+        bw = BitWriter()
+        bw.write(hdr[7] >> 2, 6)  # the 6 fixed bits of byte 7
+        bw.write(1, 1)            # load_intra_quantiser_matrix
         for j in range(64):       # stream order: value for ZIG_ZAG[j]
-            put(intra[ZIG_ZAG[j]], 8)
-        put(1, 1)                 # load_non_intra_quantiser_matrix
+            bw.write(intra[ZIG_ZAG[j]], 8)
+        bw.write(1, 1)            # load_non_intra_quantiser_matrix
         for j in range(64):
-            put(non_intra[ZIG_ZAG[j]], 8)
-        assert len(bits) % 8 == 0   # 6+1+512+1+512 = 1032... see below
-        by = bytearray()
-        for k in range(0, len(bits), 8):
-            b = 0
-            for bit in bits[k:k + 8]:
-                b = (b << 1) | bit
-            by.append(b)
-        out += by
+            bw.write(non_intra[ZIG_ZAG[j]], 8)
+        out += bw.tobytes()
         pos = hdr_start + 8
         spliced += 1
     if not spliced:
