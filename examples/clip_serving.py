@@ -53,7 +53,7 @@ def main():
     blobs = []
     km = ke = 0
     for dec in decs:
-        blob, _types = dec._native_window_blob()
+        blob, _types, _fill = dec._native_window_blob()
         km, ke = max(km, dec._km), max(ke, dec._ke)
         blobs.append((blob, dec._km, dec._ke))
 

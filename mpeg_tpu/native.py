@@ -103,7 +103,7 @@ def load() -> ctypes.CDLL:
         ctypes.c_void_p, p_u32, p_i16, p_u32, p_i32,
         p_i16, p_i16, p_u16, p_u8, ctypes.c_int64]
     lib.vp_blob_emit.restype = ctypes.c_int
-    _window_args = [ctypes.c_void_p] + [ctypes.c_int64] * 6 + [
+    _window_args = [ctypes.c_void_p] + [ctypes.c_int64] * 8 + [
         p_u32, p_i16, p_u32, p_i32, p_i16, p_i16, p_u16, p_u8,
         p_i32, p_i32, ctypes.c_int64, p_i64]
     lib.vp_blob_window.argtypes = _window_args
@@ -313,18 +313,27 @@ class NativeVideoParser:
 
     def blob_window(self, start_pic: int, max_pics: int, km: int, ke: int,
                     nm0: int, ne0: int, main_idx, main_val, esc_idx,
-                    esc_val, mvh, mvv, nbcls, misc, flags, types):
+                    esc_val, mvh, mvv, nbcls, misc, flags, types,
+                    hw_nm: int = None, hw_ne: int = None):
         """Parse+emit a whole window in ONE native call (the per-picture
         ctypes round trips cost more than the 1080p parse itself).
 
         Fills pictures [start_pic, max_pics); record offsets continue at
         (nm0, ne0).  Returns (pictures_emitted, nm, ne, pending_type):
         pending_type != 0 means a prepared picture needs more pool
-        capacity — size it with blob_counts, grow, call again."""
+        capacity — size it with blob_counts, grow, call again.
+
+        hw_nm/hw_ne (default: the full capacities): pool high-water
+        marks — a recycled buffer whose tails [hw, cap) already hold
+        this layout's pad pattern (from a previous call with the same
+        window/geometry/caps) skips re-padding them, so the tail fill
+        is O(live records), not O(pool capacity)."""
         out = np.zeros(3, np.int64)
         mb = self.geom().mb_size
         n = getattr(self._lib, self._window_fn)(
             self._h, start_pic, max_pics, km, ke, nm0, ne0,
+            km if hw_nm is None else hw_nm,
+            ke if hw_ne is None else hw_ne,
             main_idx, main_val, esc_idx, esc_val,
             mvh, mvv, nbcls, misc, flags, types, mb, out)
         return int(n), int(out[0]), int(out[1]), int(out[2])

@@ -677,6 +677,19 @@ class BatchVideoDecoder:
         self._pf_thread = None
         self._closed = False
         self._cached_geom = None
+        # Window-blob recycling: once a window's scan OUTPUT is ready
+        # (proving the device fully read the blob — the CPU backend
+        # aliases device_put host buffers and reads them lazily from
+        # inside the jit, so readiness of the input array is NOT a safe
+        # barrier), its host buffer returns through _blob_free carrying
+        # the pool high-water marks of its last fill, so the native
+        # tail pad is O(live records) instead of O(pool capacity) (see
+        # NativeVideoParser.blob_window).  Single-producer/single-
+        # consumer: only the dispatch thread appends to _blob_free (via
+        # _reap_blobs), only the parse thread pops.
+        import collections
+        self._blob_inflight = collections.deque()
+        self._blob_free = collections.deque()
 
     @classmethod
     def at_time(cls, data: bytes, seek_time: float, **kwargs):
@@ -847,43 +860,82 @@ class BatchVideoDecoder:
         return plans
 
     def _alloc_window_blob(self):
-        """Allocate a window blob for the current pool buckets and return
-        (blob, field views).  Uninitialized: the native window call
-        writes every field byte itself (blob_window_impl zeroes record
-        tails and unused picture slots off the GIL)."""
+        """Allocate or recycle a window blob for the current pool
+        buckets; returns (blob, field views, (hw_nm, hw_ne) pool
+        high-water marks).  Fresh buffers are uninitialized with full
+        high-water marks — the native window call writes every field
+        byte itself; recycled buffers skip re-padding the tail beyond
+        their previous fill (blob_window_impl zeroes record tails and
+        unused picture slots off the GIL either way)."""
+        key = (self._km, self._ke)
+        while True:
+            try:
+                blob, bkey, hwm = self._blob_free.pop()
+            except IndexError:
+                break
+            if bkey == key:
+                return blob, blob_views(blob, self.geom, self.window,
+                                        self._km, self._ke), hwm
+            # stale capacity bucket: drop the buffer
         _, total = blob_layout(self.geom, self.window, self._km, self._ke)
         blob = np.empty(total, np.uint8)
         return blob, blob_views(blob, self.geom, self.window,
-                                self._km, self._ke)
+                                self._km, self._ke), key
+
+    def _reap_blobs(self):
+        """Move inflight blobs whose consuming window completed (its
+        output gate array is ready) onto the free list (dispatch thread
+        only).  A stalled window never blocks: not-yet-ready buffers
+        stay inflight, oldest dropped past a cap so a link outage
+        cannot grow host/device memory unboundedly."""
+        dq = self._blob_inflight
+        while dq:
+            gate, blob, bkey, hwm = dq[0]
+            if not gate.is_ready():
+                if len(dq) > 4:
+                    dq.popleft()   # drop the reference, no recycling
+                    continue
+                break
+            dq.popleft()
+            if len(self._blob_free) < 3:
+                self._blob_free.append((blob, bkey, hwm))
 
     def _native_window_blob(self):
         """Parse up to `window` pictures in one native call per window
-        (plus one per pool-bucket growth); returns (blob | None, types)."""
+        (plus one per pool-bucket growth); returns
+        (blob | None, types, (nm, ne) fill level)."""
         w = self.window
         types = np.zeros(w, np.int32)
-        blob, v = self._alloc_window_blob()
+        blob, v, hwm = self._alloc_window_blob()
         w_done = nm = ne = 0
         while True:
             n, nm, ne, pending = self.native.blob_window(
                 w_done, w, self._km, self._ke, nm, ne,
                 v["main_idx"], v["main_val"], v["esc_idx"], v["esc_val"],
                 v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
-                v["flags"], types)
+                v["flags"], types, hw_nm=hwm[0], hw_ne=hwm[1])
             w_done += n
             if pending == 0 or w_done >= w:
                 break
             # Grow the sticky buckets to fit the pending picture, carry
             # the partially-filled window into the new layout.
             cm, ce = self.native.blob_counts()
+            old_km, old_ke = self._km, self._ke
             self._km = pool_bucket(nm + cm, self._km)
             self._ke = pool_bucket(max(ne + ce, 1), self._ke)
             old = v
-            blob, v = self._alloc_window_blob()
+            blob, v, hwm = self._alloc_window_blob()
             for k in old:
                 v[k][:old[k].size] = old[k]
+            # The copied prefix ends in the old pools' pad tails (the
+            # pad record (dense_last, value 0) depends only on
+            # (window, mb)), so pads hold up to the old capacities;
+            # past them, only the allocated buffer's own mark is
+            # guaranteed — the max of the two bounds the unpadded gap.
+            hwm = (max(old_km, hwm[0]), max(old_ke, hwm[1]))
         if w_done == 0:
-            return None, []
-        return blob, [int(t) for t in types[:w_done]]
+            return None, [], None
+        return blob, [int(t) for t in types[:w_done]], (nm, ne)
 
     def decode_window(self) -> list[Optional[np.ndarray]]:
         """Parse + reconstruct one window; returns the displayed frames
@@ -905,8 +957,9 @@ class BatchVideoDecoder:
         already grown the sticky buckets."""
         import time
         t0 = time.perf_counter()
+        fill = None
         if self.native is not None:
-            blob, types = self._native_window_blob()
+            blob, types, fill = self._native_window_blob()
             plans = None
         else:
             plans = self.parse_window()
@@ -921,7 +974,7 @@ class BatchVideoDecoder:
                 blob = pack_plans_blob(plans, self.geom, self.window,
                                        self._km, self._ke, records=records)
         caps = (self._km, self._ke) if self.transport == "blob" else None
-        return blob, plans, types, caps, time.perf_counter() - t0
+        return blob, plans, types, caps, time.perf_counter() - t0, fill
 
     def _next_parsed(self):
         """The next parsed window — from the prefetch queue (started
@@ -1026,7 +1079,7 @@ class BatchVideoDecoder:
         if not self._has_header():
             return [], 0
 
-        blob, plans, types, caps, t_parse = self._next_parsed()
+        blob, plans, types, caps, t_parse, fill = self._next_parsed()
 
         if not types:
             # End of stream: flush the pending reference frame.
@@ -1046,6 +1099,17 @@ class BatchVideoDecoder:
         if self.transport == "blob":
             self._carry, disps = self._scan(self._carry, blob)
             nbytes = blob.nbytes
+            # Recycle the host blob once this window's OUTPUT is ready:
+            # the scan cannot complete without having fully read the
+            # blob.  (is_ready on the device_put result itself is NOT a
+            # sufficient barrier — the CPU backend consumes the host
+            # buffer lazily from inside the jit, measurably after the
+            # input array reports ready.)
+            self._reap_blobs()
+            if fill is not None:
+                import jax
+                gate = jax.tree_util.tree_leaves(disps)[0]
+                self._blob_inflight.append((gate, blob, caps, fill))
         else:
             stacked = stack_plans(plans, self.geom, self.window)
             self._carry, disps = self._scan(self._carry, stacked)

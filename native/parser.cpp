@@ -383,6 +383,12 @@ struct VideoParser {
     // bounds to int16; the intra DC stores dc*8 since dc<<8 == (dc*8)*32).
     // Leaks/clears mirror block_data exactly, so the blob encoder never
     // needs a division.
+    //
+    // Pool mode maintains ONLY block_quot per AC coefficient (nothing
+    // there reads the premultiplied value; escapes derive it on the
+    // fly) — a dense-plan mode entered afterwards restores the pairing
+    // for the occupied slots via sync_scratch_premult(), preserving the
+    // reference's cross-block scratch-leak semantics across the switch.
     int32_t block_quot[64] = {0};
     // Occupancy bitmask over the scratch: bit p set <=> block_data[p]/
     // block_quot[p] was written and not yet cleared.  Lets the emit
@@ -457,6 +463,18 @@ struct VideoParser {
     PodVec<uint32_t> rec_eidx;
     PodVec<int32_t> rec_eval;
 
+    // Restore block_data[j] == block_quot[j] * PREMULTIPLIER[j] for the
+    // occupied scratch slots.  Pool mode skips the premultiplied stores
+    // (nothing reads them there); a dense-plan mode entered afterwards
+    // must see the exact leaked scratch the reference would have
+    // (video.go:101 cross-block leak semantics).
+    void sync_scratch_premult() {
+        for (uint64_t occ = scratch_occ; occ; occ &= occ - 1) {
+            int j = __builtin_ctzll(occ);
+            block_data[j] = block_quot[j] * (int32_t)PREMULTIPLIER[j];
+        }
+    }
+
     void mark_dirty(int mb) {
         if (dirty_stamp.empty()) return;   // dense mode: no tracking
         if (mb >= 0 && mb < mb_size && dirty_stamp[mb] != generation) {
@@ -500,9 +518,11 @@ struct VideoParser {
                 rec_midx.push(base + (uint32_t)j);
                 rec_mval.push((int16_t)q);
             } else {
-                // escape carries the full coefficient (level * premult)
+                // escape carries the full coefficient (level * premult),
+                // derived from the quotient (pool mode does not keep the
+                // premultiplied scratch up to date — see block_quot)
                 rec_eidx.push(base + (uint32_t)j);
-                rec_eval.push(block_data[j]);
+                rec_eval.push(block_quot[j] * (int32_t)PREMULTIPLIER[j]);
             }
         }
         int m = (int)(rec_midx.size() - m0);
@@ -931,7 +951,12 @@ struct VideoParser {
             level = level > 2047 ? 2047 : (level < -2048 ? -2048 : level);
 
             block_quot[pos] = level;
-            block_data[pos] = level * PREMULTIPLIER[pos];
+            // Pool mode never reads the premultiplied scratch (records
+            // carry the quotient; the device premultiplies at densify) —
+            // skipping the store/mul here is ~2 of the ~30 cycles each
+            // AC coefficient costs.  sync_scratch_premult() restores the
+            // pairing if a dense-plan mode follows.
+            if (!track_pool) block_data[pos] = level * PREMULTIPLIER[pos];
             scratch_occ |= 1ull << pos;
         }
 
@@ -1253,6 +1278,7 @@ struct VideoParser {
         if (!has_header()) return 0;
         ensure_host_frames();
         ensure_own_plan();
+        if (track_pool) sync_scratch_premult();
         track_pool = false;
         coeffs = own_coeffs.data();
         nblocks = own_nblocks.data();
@@ -2068,10 +2094,18 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
 // types are zeroed at the end), so callers may hand in uninitialized or
 // recycled buffers — the zeroing runs here, off the GIL, instead of as
 // np.zeros on the Python dispatch thread.
+// hw_nm / hw_ne: the caller's promise that [hw_nm, km) of the main pool
+// and [hw_ne, ke) of the escape pool ALREADY hold the pad pattern for
+// this exact layout (dense_last records with value 0) — true for a
+// buffer this function previously filled with the same (max_pics, mb,
+// km, ke).  The tail fill then covers only [nm, hw) instead of [nm, km)
+// — the full fill is O(pool capacity) per window, not O(live records),
+// and dominates the film-content tail where records are sparse.  Pass
+// hw = km/ke for a fresh or unknown buffer.
 static int64_t blob_window_impl(
         VideoParser* v, int (*prepare)(void*), void* prepare_arg,
         int64_t start_pic, int64_t max_pics, int64_t km, int64_t ke,
-        int64_t nm0, int64_t ne0,
+        int64_t nm0, int64_t ne0, int64_t hw_nm, int64_t hw_ne,
         uint32_t* main_idx, int16_t* main_val,
         uint32_t* esc_idx, int32_t* esc_val,
         int16_t* mvh, int16_t* mvv, uint16_t* nbcls, uint8_t* misc,
@@ -2112,10 +2146,12 @@ static int64_t blob_window_impl(
     // the whole pool stays ascending (device scatter ABI:
     // indices_are_sorted; a value-0 add is a no-op wherever it lands).
     uint32_t dense_last = (uint32_t)(max_pics * mb * 6 * 64 - 1);
-    std::fill(main_idx + nm, main_idx + km, dense_last);
-    std::memset(main_val + nm, 0, (km - nm) * sizeof(int16_t));
-    std::fill(esc_idx + ne, esc_idx + ke, dense_last);
-    std::memset(esc_val + ne, 0, (ke - ne) * sizeof(int32_t));
+    int64_t fm = hw_nm < nm ? nm : (hw_nm > km ? km : hw_nm);
+    int64_t fe = hw_ne < ne ? ne : (hw_ne > ke ? ke : hw_ne);
+    std::fill(main_idx + nm, main_idx + fm, dense_last);
+    std::memset(main_val + nm, 0, (fm - nm) * sizeof(int16_t));
+    std::fill(esc_idx + ne, esc_idx + fe, dense_last);
+    std::memset(esc_val + ne, 0, (fe - ne) * sizeof(int32_t));
     if (w < max_pics) {
         std::memset(flags + w, 0, (max_pics - w) * sizeof(int32_t));
         std::memset(types + w, 0, (max_pics - w) * sizeof(int32_t));
@@ -2132,6 +2168,7 @@ static int64_t blob_window_impl(
 
 int64_t vp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
                        int64_t km, int64_t ke, int64_t nm0, int64_t ne0,
+                       int64_t hw_nm, int64_t hw_ne,
                        uint32_t* main_idx, int16_t* main_val,
                        uint32_t* esc_idx, int32_t* esc_val,
                        int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
@@ -2139,6 +2176,7 @@ int64_t vp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
                        int64_t mb, int64_t* out) {
     return blob_window_impl((VideoParser*)p, vp_parse_blob_prepare, p,
                             start_pic, max_pics, km, ke, nm0, ne0,
+                            hw_nm, hw_ne,
                             main_idx, main_val, esc_idx, esc_val,
                             mvh, mvv, nbcls, misc, flags, types, mb, out);
 }
@@ -2147,6 +2185,7 @@ int vp_parse_picture(void* p, int32_t* coeffs, int32_t* nblocks,
                      int32_t* intra_blk, int32_t* src_sel,
                      int32_t* mv_h, int32_t* mv_v) {
     auto* v = (VideoParser*)p;
+    if (v->track_pool) v->sync_scratch_premult();
     v->track_pool = false;
     v->coeffs = coeffs;
     v->nblocks = nblocks;
@@ -2374,6 +2413,7 @@ int pp_video_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
 
 int64_t pp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
                        int64_t km, int64_t ke, int64_t nm0, int64_t ne0,
+                       int64_t hw_nm, int64_t hw_ne,
                        uint32_t* main_idx, int16_t* main_val,
                        uint32_t* esc_idx, int32_t* esc_val,
                        int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
@@ -2382,6 +2422,7 @@ int64_t pp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
     auto* pp = (Pipeline*)p;
     return blob_window_impl(&pp->vp, pp_video_blob_prepare, p,
                             start_pic, max_pics, km, ke, nm0, ne0,
+                            hw_nm, hw_ne,
                             main_idx, main_val, esc_idx, esc_val,
                             mvh, mvv, nbcls, misc, flags, types, mb, out);
 }

@@ -347,6 +347,29 @@ def test_batch_decoder_prefetch_parity(mpeg1video_path):
         BatchVideoDecoder(b"", window=16, streaming=True, prefetch=True)
 
 
+def test_batch_decoder_blob_recycling_parity(mpeg1video_path):
+    """Small windows force heavy window-blob recycling (the host buffer
+    returns to the parse side with pool high-water marks once the
+    window's output is ready — batch.py _reap_blobs); the golden must
+    hold with and without the prefetch thread in the loop.  Guards two
+    invariants: recycled tails beyond the high-water mark really are
+    pad records, and a buffer is never handed back while the device
+    can still read it (the CPU backend consumes device_put host
+    buffers lazily, so output-readiness is the only safe gate)."""
+    data = open(mpeg1video_path, "rb").read()
+    for prefetch in (False, True):
+        h = Fnv1a64()
+        frames = 0
+        dec = BatchVideoDecoder(data, window=3, prefetch=prefetch)
+        while got := dec.decode_window():
+            for flat in got:
+                h.write(np.asarray(flat)[:dec.geom.frame_size].tobytes())
+                frames += 1
+        assert frames == 260, prefetch
+        assert h.sum64() == GOLDEN_VIDEO_HASH, prefetch
+        assert dec._blob_free or dec._blob_inflight   # recycling engaged
+
+
 def test_batch_decoder_prefetch_close(mpeg1video_path):
     """close() stops a prefetch producer abandoned mid-stream (even
     with the queue full) and poisons further decode — the producer
