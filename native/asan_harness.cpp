@@ -86,6 +86,7 @@ static int run_window(const std::vector<uint8_t>& data) {
             // caller copies the partial window across); emitted records
             // stay consumed either way, which is what the sweep checks.
             w_done += vp_blob_window(p, w_done, W, km, ke, nm, ne,
+                                     km, ke,   // fresh buffers: full pad
                                      mi.data(), mv.data(), ei.data(),
                                      ev.data(), mvh.data(), mvv.data(),
                                      nbc.data(), msc.data(), flags.data(),

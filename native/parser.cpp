@@ -219,6 +219,15 @@ struct BitReader {
 // table, so indexing DCT_COEFF_* at prefix << 4 is exact.)
 static uint32_t DCT_FAST12[4096];
 
+// Subsequent-coefficient variant (n > 0): the '1'-prefixed family is
+// unambiguous there — '10' is EOB and '11s' is run-0/level-±1 (the
+// single most frequent AC code) — so both become direct entries
+// instead of routing through the type-1 marker's bit-by-bit re-derive.
+// EOB is marker type 3 (it must break, so it can't ride the normal
+// run/level path; the level field holds signed values, so bit 31 is
+// not available as a flag either).
+static uint32_t DCT_FAST12_SUB[4096];
+
 // Combined (value << 8 | length) direct table for the FAST12 misses:
 // one 256 KB table = one cache access per long-code lookup, instead of
 // two (the split LEN + VAL tables cost two L2 misses each).
@@ -231,15 +240,26 @@ static const bool DCT_FAST_INIT = [] {
         int idx = i << 4;
         uint8_t len = DCT_COEFF_LEN[idx];
         DCT_FAST12[i] = 0;
-        if (len == 0) continue;
+        if (len == 0) { DCT_FAST12_SUB[i] = 0; continue; }
         uint16_t v = DCT_COEFF_VAL[idx];
         if (v == 0x0001 && len + 2 <= 12) {
-            // EOB-ambiguous code (once per coded block): marker entry,
-            // low byte 0, type 1, prefix length in bits 8..15.
+            // EOB-ambiguous code: marker entry, low byte 0, type 1,
+            // prefix length in bits 8..15 (first-coefficient table
+            // only — the SUB entries below resolve it directly).
             DCT_FAST12[i] = (1u << 30) | ((uint32_t)len << 8);
+            if ((i >> 10) == 2) {
+                // '10' = EOB: marker type 3, full length in bits 8..15
+                DCT_FAST12_SUB[i] = (3u << 30) | (((uint32_t)len + 1) << 8);
+            } else {
+                // '11s' = run 0, level +/-1, len + EOB-check bit + sign
+                int16_t slevel = (i >> 9) & 1 ? -1 : 1;
+                DCT_FAST12_SUB[i] = (uint32_t)(len + 2) |
+                                    ((uint32_t)(uint16_t)slevel << 16);
+            }
         } else if (v == 0xFFFF) {
             // escape: marker type 2 — run/level read from the window
             DCT_FAST12[i] = (2u << 30) | ((uint32_t)len << 8);
+            DCT_FAST12_SUB[i] = DCT_FAST12[i];
         } else if (len + 1 <= 12) {
             int sign = (i >> (11 - len)) & 1;
             int16_t slevel = (int16_t)(v & 0xFF);
@@ -247,6 +267,9 @@ static const bool DCT_FAST_INIT = [] {
             DCT_FAST12[i] = (uint32_t)(len + 1) |
                             ((uint32_t)(v >> 8) << 8) |
                             ((uint32_t)(uint16_t)slevel << 16);
+            DCT_FAST12_SUB[i] = DCT_FAST12[i];
+        } else {
+            DCT_FAST12_SUB[i] = 0;
         }
     }
     return true;
@@ -845,27 +868,33 @@ struct VideoParser {
             if (byte_pos + 8 <= br.size) {
                 uint64_t w = br.window64(byte_pos);
                 int sh = (int)(br.bit & 7);
-                uint32_t f = DCT_FAST12[(w >> (52 - sh)) & 0xFFF];
+                // n == 0 only on a non-intra block's first coefficient:
+                // there the '1'-prefix family is unambiguous run-0/
+                // level-1 (type-1 marker, no EOB bit); every later
+                // iteration uses the SUB table whose '10'/'11s' entries
+                // are direct (EOB = marker type 3).
+                uint32_t f = (n ? DCT_FAST12_SUB
+                                : DCT_FAST12)[(w >> (52 - sh)) & 0xFFF];
                 if (f & 0xFF) {
                     br.bit += f & 0xFF;
                     run = (int)((f >> 8) & 0xFF);
                     level = (int16_t)(f >> 16);
                 } else if (f) {
                     // Marker entries: the EOB-ambiguous 0x0001 family
-                    // (type 1) and the escape (type 2), both decoded
-                    // from the SAME window — no second table load.
+                    // (type 1, first-coefficient table only), the
+                    // escape (type 2), and EOB (type 3, SUB table),
+                    // all decoded from the SAME window — no second
+                    // table load.
                     int len = (int)((f >> 8) & 0xFF);
                     int off = sh + len;
+                    if ((f >> 30) == 3) {
+                        br.bit += len;
+                        break;   // EOB
+                    }
                     if ((f >> 30) == 1) {
                         br.bit += len;
-                        if (n > 0) {
-                            // EOB-check bit (consumed either way; a 1
-                            // means run-0/level-1, video.go:686).
-                            int b = (int)((w >> (63 - off)) & 1);
-                            br.bit += 1;
-                            off += 1;
-                            if (b == 0) break;   // EOB
-                        }
+                        // n == 0 here (the SUB table has no type-1
+                        // entries): '1 s' — sign follows the prefix.
                         int s = (int)((w >> (63 - off)) & 1);
                         br.bit += 1;
                         run = 0;
