@@ -825,7 +825,11 @@ struct VideoParser {
         }
     }
 
-    __attribute__((always_inline)) void decode_block(int block) {
+    // noinline: with the SUB-table body this function is big enough
+    // that 6-way inlining into decode_macroblock loses to the call
+    // (interleaved A/B: noinline ahead in 9/11 laps, ~+2-8%; the
+    // pre-SUB body measured the other way — re-measure if it changes).
+    __attribute__((noinline)) void decode_block(int block) {
         int n = 0;
         const uint8_t* quant;
 
