@@ -363,3 +363,47 @@ def test_native_blob_records_sorted(mpeg1video_path):
         idx = pv[name].astype(np.int64)
         assert (np.diff(idx) >= 0).all()
         assert idx[-1] == window * mb * 6 * 64 - 1
+
+
+@pytest.mark.parametrize("i", range(0, 12, 2))
+def test_native_plans_match_python_on_junk(i, mpeg1video_path):
+    """Differential fuzz: on BIT-FLIPPED streams the native parser must
+    still produce plan-for-plan exactly what the Python oracle does —
+    the reference's junk tolerance is deterministic (invalid VLC
+    prefixes decode as 0, scratch leaks clear, resync scans forward:
+    video.go:101,676-745), so corrupt input is where a fresh table
+    transcription (e.g. the subsequent-coefficient DCT fast path)
+    would first diverge."""
+    data = bytearray(open(mpeg1video_path, "rb").read())
+    for off in range((7 * (i + 1)) % len(data), len(data), 4099):
+        data[off] ^= 1 << (i % 8)
+    data = bytes(data)
+
+    nat = native.NativeVideoParser(data)
+
+    import io
+    buf = mpeg.Buffer(io.BytesIO(data))
+    buf.set_load_callback(buf.load_reader_callback)
+    py = mpeg.Video(buf, backend="plan", parser="python")
+
+    if not (nat.has_header() and py.has_header()):
+        assert nat.has_header() == py.has_header()
+        return
+
+    n = 0
+    while n < 300:
+        a = nat.parse_next_plan()
+        b = py.parse_next_plan()
+        assert (a is None) == (b is None), f"picture {n}: presence differs"
+        if a is None:
+            break
+        plan_a, type_a = a
+        plan_b, type_b = b
+        assert type_a == type_b, f"picture {n}: type {type_a} vs {type_b}"
+        for field in ("coeffs", "nblocks", "intra_blk",
+                      "src_sel", "mv_h", "mv_v"):
+            assert np.array_equal(getattr(plan_a, field),
+                                  getattr(plan_b, field)), \
+                f"picture {n} field {field} differs (bitflip variant {i})"
+        n += 1
+    assert n > 0   # the flipped stream still yields pictures
