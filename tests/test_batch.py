@@ -409,3 +409,24 @@ def test_batch_decoder_prefetch_close(mpeg1video_path):
     assert dec2._pf_thread is None      # EOS shut the producer down
     assert not dec2._prefetch           # post-EOS polling stays inline
     assert dec2.decode_window() == []
+
+
+def test_batch_decoder_blob_recycling_ps_source(mpg_path):
+    """Same recycling invariants on a PS source (pp_blob_window carries
+    the high-water-mark ABI too): window=3 forces heavy recycling; the
+    frames must equal a window=16 decode of the same program stream."""
+    data = open(mpg_path, "rb").read()
+
+    def frames_at(window):
+        dec = BatchVideoDecoder(data, window=window)
+        out = []
+        while got := dec.decode_window():
+            out += [np.asarray(f)[:dec.geom.frame_size].copy() for f in got]
+        return out, dec
+
+    base, _ = frames_at(16)
+    small, dec3 = frames_at(3)
+    assert len(base) == len(small) > 0
+    for i, (a, b) in enumerate(zip(base, small)):
+        assert (a == b).all(), f"frame {i}"
+    assert dec3._blob_free or dec3._blob_inflight   # recycling engaged

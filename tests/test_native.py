@@ -407,3 +407,44 @@ def test_native_plans_match_python_on_junk(i, mpeg1video_path):
                 f"picture {n} field {field} differs (bitflip variant {i})"
         n += 1
     assert n > 0   # the flipped stream still yields pictures
+
+
+@pytest.mark.parametrize("i", range(0, 12, 2))
+def test_native_audio_matches_python_on_junk(i, mp2_path):
+    """Differential fuzz for the MP2 parser: on bit-flipped streams the
+    native parser's framesync/resync and allocation decode must track
+    the Python oracle frame-for-frame (audio.go:150-175 resync
+    semantics are deterministic on junk)."""
+    data = bytearray(open(mp2_path, "rb").read())
+    for off in range((11 * (i + 1)) % len(data), len(data), 2039):
+        data[off] ^= 1 << (i % 8)
+    data = bytes(data)
+
+    import io
+    nat = native.NativeAudioParser(data)
+    buf = mpeg.Buffer(io.BytesIO(data))
+    buf.set_load_callback(buf.load_reader_callback)
+    py = mpeg.Audio(buf, backend="numpy", parser="python")
+
+    if not (nat.has_header() and py.has_header()):
+        assert nat.has_header() == py.has_header()
+        return
+
+    n = 0
+    while n < 400:
+        a = nat.parse_next_frame()
+        if py.next_frame_data_size == 0:
+            py.next_frame_data_size = py._decode_header()
+        if py.next_frame_data_size == 0 or \
+                not py.buf.has(py.next_frame_data_size << 3):
+            b = None
+        else:
+            b = py._parse_frame()
+            py.next_frame_data_size = 0
+        assert (a is None) == (b is None), \
+            f"frame {n} presence differs (variant {i})"
+        if a is None:
+            break
+        assert np.array_equal(a, b), f"frame {n} samples differ (variant {i})"
+        n += 1
+    assert n > 0
