@@ -430,3 +430,31 @@ def test_batch_decoder_blob_recycling_ps_source(mpg_path):
     for i, (a, b) in enumerate(zip(base, small)):
         assert (a == b).all(), f"frame {i}"
     assert dec3._blob_free or dec3._blob_inflight   # recycling engaged
+
+
+def test_batch_decoder_4k_matches_host_decoder():
+    """Geometry independence at UHD: the device scan path (mb_size =
+    240 x 135 = 32,400 — 36x the 160x120 fixtures) must reproduce the
+    C++ host-only decoder frame-for-frame.  Exercises the large-
+    geometry branch of the recon VMEM gate (the fused Pallas stack
+    exceeds its budget at 4K and must never be selected)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "bench_data", "test4k.m1v")
+    if not os.path.exists(path):
+        pytest.skip("4K bench fixture not present")
+    data = open(path, "rb").read()
+
+    from mpeg_tpu import native as native_mod
+    dec = BatchVideoDecoder(data, window=4)
+    assert (dec.geom.width, dec.geom.height) == (3840, 2160)
+    frames = []
+    while got := dec.decode_window():
+        frames += [np.asarray(f)[:dec.geom.frame_size].copy() for f in got]
+
+    host = native_mod.NativeHostDecoder(data)
+    n = 0
+    while (ref := host.decode_next()) is not None:
+        assert (frames[n] == ref[:frames[n].size]).all(), f"frame {n}"
+        n += 1
+    assert n == 8 == len(frames)
