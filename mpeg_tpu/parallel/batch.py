@@ -934,6 +934,11 @@ class BatchVideoDecoder:
             # guaranteed — the max of the two bounds the unpadded gap.
             hwm = (max(old_km, hwm[0]), max(old_ke, hwm[1]))
         if w_done == 0:
+            # Hand the buffer straight back: the 0-picture call still
+            # padded [0, hwm) (records start at 0), so the pad promise
+            # holds at the same mark — without this, streaming polls
+            # with no buffered bytes would drain the free list.
+            self._blob_free.append((blob, (self._km, self._ke), hwm))
             return None, [], None
         return blob, [int(t) for t in types[:w_done]], (nm, ne)
 
@@ -951,10 +956,12 @@ class BatchVideoDecoder:
 
     def _parse_stage(self):
         """Parse + pack one window (runs on the prefetch thread when
-        enabled).  Returns (blob, plans, types, caps, t_parse); caps
-        pins the pool buckets the blob was packed with, so the consumer
-        compiles against the right layout even if a later window has
-        already grown the sticky buckets."""
+        enabled).  Returns (blob, plans, types, caps, t_parse, fill);
+        caps pins the pool buckets the blob was packed with, so the
+        consumer compiles against the right layout even if a later
+        window has already grown the sticky buckets; fill is the
+        (nm, ne) pool fill level for blob recycling (None when the
+        window came from the Python parse path)."""
         import time
         t0 = time.perf_counter()
         fill = None
@@ -1108,7 +1115,12 @@ class BatchVideoDecoder:
             self._reap_blobs()
             if fill is not None:
                 import jax
-                gate = jax.tree_util.tree_leaves(disps)[0]
+                leaf = jax.tree_util.tree_leaves(disps)[0]
+                # Gate on a 1-element derived slice, not the display
+                # array itself: the slice completes only after the scan
+                # output exists, but holding it in the inflight deque
+                # does not pin whole windows of frames on a slow link.
+                gate = leaf[(0,) * (leaf.ndim - 1) + (slice(0, 1),)]
                 self._blob_inflight.append((gate, blob, caps, fill))
         else:
             stacked = stack_plans(plans, self.geom, self.window)
