@@ -458,3 +458,36 @@ def test_batch_decoder_4k_matches_host_decoder():
         assert (frames[n] == ref[:frames[n].size]).all(), f"frame {n}"
         n += 1
     assert n == 8 == len(frames)
+
+
+def test_blob_inflight_overflow_drops_not_grows(mpeg1video_path):
+    """A link stall must never grow the inflight deque unboundedly:
+    past the cap, the oldest entry is dropped (its buffer is simply
+    not recycled) and the free list stays bounded."""
+    data = open(mpeg1video_path, "rb").read()
+    dec = BatchVideoDecoder(data, window=16)
+
+    class NeverReady:
+        def is_ready(self):
+            return False
+
+    class AlwaysReady:
+        def is_ready(self):
+            return True
+
+    for k in range(8):   # simulate 8 windows whose consumer never drains
+        dec._blob_inflight.append(
+            (NeverReady(), np.empty(1, np.uint8), (dec._km, dec._ke),
+             (0, 0)))
+        dec._reap_blobs()
+    assert len(dec._blob_inflight) <= 5   # bounded under stall
+
+    # recovery: ready gates drain into the (capped) free list
+    for k in range(8):
+        dec._blob_inflight.append(
+            (AlwaysReady(), np.empty(1, np.uint8), (dec._km, dec._ke),
+             (0, 0)))
+    dec._reap_blobs()
+    assert not dec._blob_inflight
+    assert len(dec._blob_free) <= 3 + 1   # cap (+1 alloc-time pushback)
+    dec.close()
