@@ -129,7 +129,7 @@ _MIN_KE = 64      # minimum escape-pool bucket (records)
 
 def pool_bucket(n: int, floor: int) -> int:
     """Power-of-two capacity bucket covering n records."""
-    k = floor
+    k = max(floor, 1)   # floor 0 would never double
     while k < n:
         k *= 2
     return k

@@ -491,3 +491,26 @@ def test_blob_inflight_overflow_drops_not_grows(mpeg1video_path):
     assert not dec._blob_inflight
     assert len(dec._blob_free) <= 3 + 1   # cap (+1 alloc-time pushback)
     dec.close()
+
+
+def test_blob_recycling_survives_late_pool_growth(mpeg1video_path):
+    """Force the pool-growth protocol to fire LATE, while recycled
+    buffers (with their high-water marks) are already circulating:
+    shrinking the sticky bucket mid-stream makes the next window hit
+    the pending/grow path, which must drop stale-capacity buffers,
+    re-pad conservatively (max of old capacity and buffer mark), and
+    keep the golden."""
+    data = open(mpeg1video_path, "rb").read()
+    h = Fnv1a64()
+    frames = 0
+    dec = BatchVideoDecoder(data, window=4)
+    windows = 0
+    while got := dec.decode_window():
+        for flat in got:
+            h.write(np.asarray(flat)[:dec.geom.frame_size].tobytes())
+            frames += 1
+        windows += 1
+        if windows == 10:
+            dec._km = 4096   # force re-growth next window
+    assert frames == 260
+    assert h.sum64() == GOLDEN_VIDEO_HASH
