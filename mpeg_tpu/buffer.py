@@ -103,13 +103,21 @@ class Buffer:
             del self.data[:]
             self.bit_index = 0
         elif self.reader is None:
-            if not self.discard_read and pos <= len(self.data):
+            if not self.discard_read:
                 # Retained push buffer (discard disabled, e.g. the
                 # non-seekable tee's control window): every byte since
                 # stream start is still here, so any in-window position
                 # is addressable — demux probe/start-time save/restore
-                # positions through this.
-                self.bit_index = pos << 3
+                # positions through this.  A position beyond the window
+                # (e.g. a save/restore landing past the tee's retention
+                # cap) clamps to the buffered end and marks the stream
+                # ended so the caller sees EOS instead of silently
+                # continuing from an unrelated offset.
+                if pos <= len(self.data):
+                    self.bit_index = pos << 3
+                else:
+                    self.bit_index = len(self.data) << 3
+                    self._has_ended = True
             elif pos == 0:
                 del self.data[:]
                 self.bit_index = 0

@@ -92,19 +92,19 @@ def load() -> ctypes.CDLL:
     lib.vp_parse_picture.restype = ctypes.c_int
 
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    p_i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
-    p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.vp_parse_blob_prepare.argtypes = [ctypes.c_void_p]
     lib.vp_parse_blob_prepare.restype = ctypes.c_int
     lib.vp_blob_counts.argtypes = [ctypes.c_void_p, p_i64]
     lib.vp_blob_emit.argtypes = [
-        ctypes.c_void_p, p_u32, p_i16, p_u32, p_i32,
-        p_i16, p_i16, p_u16, p_u8, ctypes.c_int64]
+        ctypes.c_void_p, p_u16, p_i8, p_u16, p_i32,
+        p_i16, p_i16, p_u16, p_u8, ctypes.c_int64, p_i64]
     lib.vp_blob_emit.restype = ctypes.c_int
-    _window_args = [ctypes.c_void_p] + [ctypes.c_int64] * 8 + [
-        p_u32, p_i16, p_u32, p_i32, p_i16, p_i16, p_u16, p_u8,
+    _window_args = [ctypes.c_void_p] + [ctypes.c_int64] * 10 + [
+        p_u16, p_i8, p_u16, p_i32, p_i16, p_i16, p_u16, p_u8,
         p_i32, p_i32, ctypes.c_int64, p_i64]
     lib.vp_blob_window.argtypes = _window_args
     lib.vp_blob_window.restype = ctypes.c_int64
@@ -300,43 +300,56 @@ class NativeVideoParser:
         self._lib.vp_blob_counts(self._h, out)
         return int(out[0]), int(out[1])
 
-    def blob_emit(self, main_idx, main_val, esc_idx, esc_val,
-                  mvh, mvv, nbcls, misc, idx_base: int) -> int:
-        """Emit the prepared picture's pool records + packed metadata
-        (size the record arrays from blob_counts; the metadata arrays are
-        this picture's [mb] slots).  Returns the flags word."""
-        return int(self._lib.vp_blob_emit(
-            self._h, main_idx, main_val, esc_idx, esc_val,
-            mvh, mvv, nbcls, misc, idx_base))
+    def blob_emit(self, main_didx, main_val, esc_didx, esc_val,
+                  mvh, mvv, nbcls, misc, idx_base: int,
+                  prev_m: int = 0, prev_e: int = 0):
+        """Emit the prepared picture's pool records + packed metadata.
+
+        Records are delta-encoded (uint16 index deltas continuing the
+        chains at prev_m/prev_e, int8 quotients; hop records bridge
+        gaps over 64K) — size the record arrays from blob_counts plus a
+        hop bound of (pic_span >> 16) + 2.  The metadata arrays are this
+        picture's [mb] slots.  Returns (flags_word, nm, ne, prev_m,
+        prev_e): the emitted record counts and the new chain tails."""
+        io = np.array([prev_m, prev_e, 0, 0], np.int64)
+        flags = int(self._lib.vp_blob_emit(
+            self._h, main_didx, main_val, esc_didx, esc_val,
+            mvh, mvv, nbcls, misc, idx_base, io))
+        return flags, int(io[2]), int(io[3]), int(io[0]), int(io[1])
 
     _window_fn = "vp_blob_window"
 
     def blob_window(self, start_pic: int, max_pics: int, km: int, ke: int,
-                    nm0: int, ne0: int, main_idx, main_val, esc_idx,
+                    nm0: int, ne0: int, main_didx, main_val, esc_didx,
                     esc_val, mvh, mvv, nbcls, misc, flags, types,
-                    hw_nm: int = None, hw_ne: int = None):
+                    hw_nm: int = None, hw_ne: int = None,
+                    prev_m: int = 0, prev_e: int = 0):
         """Parse+emit a whole window in ONE native call (the per-picture
         ctypes round trips cost more than the 1080p parse itself).
 
         Fills pictures [start_pic, max_pics); record offsets continue at
-        (nm0, ne0).  Returns (pictures_emitted, nm, ne, pending_type):
+        (nm0, ne0) with delta chains continuing at (prev_m, prev_e) —
+        thread all four through growth re-calls.  Returns
+        (pictures_emitted, nm, ne, pending_type, prev_m, prev_e):
         pending_type != 0 means a prepared picture needs more pool
-        capacity — size it with blob_counts, grow, call again.
+        capacity — size it with blob_counts plus the window hop slack,
+        grow, call again.
 
         hw_nm/hw_ne (default: the full capacities): pool high-water
         marks — a recycled buffer whose tails [hw, cap) already hold
-        this layout's pad pattern (from a previous call with the same
-        window/geometry/caps) skips re-padding them, so the tail fill
-        is O(live records), not O(pool capacity)."""
-        out = np.zeros(3, np.int64)
+        the pad pattern (all-zero records) skips re-padding them, so
+        the tail fill is O(live records), not O(pool capacity)."""
+        out = np.zeros(5, np.int64)
         mb = self.geom().mb_size
         n = getattr(self._lib, self._window_fn)(
             self._h, start_pic, max_pics, km, ke, nm0, ne0,
             km if hw_nm is None else hw_nm,
             ke if hw_ne is None else hw_ne,
-            main_idx, main_val, esc_idx, esc_val,
+            prev_m, prev_e,
+            main_didx, main_val, esc_didx, esc_val,
             mvh, mvv, nbcls, misc, flags, types, mb, out)
-        return int(n), int(out[0]), int(out[1]), int(out[2])
+        return (int(n), int(out[0]), int(out[1]), int(out[2]),
+                int(out[3]), int(out[4]))
 
 
 class NativeHostDecoder(NativeVideoParser):
@@ -522,11 +535,14 @@ class NativePipeline:
         self._lib.pp_video_blob_counts(self._h, out)
         return int(out[0]), int(out[1])
 
-    def blob_emit(self, main_idx, main_val, esc_idx, esc_val,
-                  mvh, mvv, nbcls, misc, idx_base: int) -> int:
-        return int(self._lib.pp_video_blob_emit(
-            self._h, main_idx, main_val, esc_idx, esc_val,
-            mvh, mvv, nbcls, misc, idx_base))
+    def blob_emit(self, main_didx, main_val, esc_didx, esc_val,
+                  mvh, mvv, nbcls, misc, idx_base: int,
+                  prev_m: int = 0, prev_e: int = 0):
+        io = np.array([prev_m, prev_e, 0, 0], np.int64)
+        flags = int(self._lib.pp_video_blob_emit(
+            self._h, main_didx, main_val, esc_didx, esc_val,
+            mvh, mvv, nbcls, misc, idx_base, io))
+        return flags, int(io[2]), int(io[3]), int(io[0]), int(io[1])
 
     _window_fn = "pp_blob_window"
     blob_window = NativeVideoParser.blob_window

@@ -123,7 +123,17 @@ class BatchAudioDecoder:
                             dec.stats.host_seconds += \
                                 time.perf_counter() - t0
                     except BaseException as e:   # noqa: BLE001
-                        q.put(e)   # in-band: good windows drain first
+                        # In-band (good windows drain first), with the
+                        # same timeout-and-recheck loop as the normal
+                        # puts: a full queue on an abandoned decoder
+                        # must not pin this thread forever.
+                        del dec
+                        while not (stop or wr() is None):
+                            try:
+                                q.put(e, timeout=0.5)
+                                break
+                            except queue_mod.Full:
+                                pass
                         return
                     eos = len(frames) < dec.window
                     del dec   # no strong decoder ref during the puts
@@ -298,9 +308,24 @@ class BatchAudioDecoder:
         n = len(frames)
         samples = np.zeros((self.window, 36, 2, 32), np.int32)
         samples[:n] = frames
+        # stats.detailed: split the device leg into h2d / dispatch / d2h
+        # with explicit syncs (attribution mode — the extra barriers
+        # serialize the overlap the default path keeps, so enable it
+        # only when the split itself is the measurement).
+        detailed = self.stats is not None and self.stats.detailed
         t0 = time.perf_counter()
-        out, self._v = self._synth(
-            jnp.asarray(samples.reshape(-1, 2, 32)), self._v)
+        xs = jnp.asarray(samples.reshape(-1, 2, 32))
+        if detailed:
+            import jax
+            jax.block_until_ready(xs)
+            t1 = time.perf_counter()
+            self.stats.h2d_seconds += t1 - t0
+        out, self._v = self._synth(xs, self._v)
+        if detailed:
+            import jax
+            jax.block_until_ready(out)
+            t2 = time.perf_counter()
+            self.stats.dispatch_seconds += t2 - t1
         if self.out_format == "s16":
             if self.out_device:
                 pcm = out[:n * 2304]   # device slice, no d2h
@@ -313,6 +338,8 @@ class BatchAudioDecoder:
         else:
             u = np.asarray(out).reshape(self.window, 36, 2, 32)[:n]
             pcm = filterbank.finalize_np(u).reshape(-1)
+        if detailed:
+            self.stats.d2h_seconds += time.perf_counter() - t2
         if self.stats is not None:
             self.stats.samples += n * 1152
             self.stats.transfer_bytes += samples.nbytes

@@ -26,12 +26,19 @@ The production transport is a single uint8 "window blob" per window:
   record count (bucketed), not window * max-per-picture — I pictures are
   5-10x denser than P/B, so per-window pooling cuts the coefficient bytes
   ~4x on typical GOPs;
-- pool records carry the UNPREMULTIPLIED quotient as int16 (the clipped
-  level fits +-2048, video.go:737-742) and the device multiplies by the
-  position's premultiplier (tables.PREMULTIPLIER_MATRIX); values that are
-  not an exact premultiplier multiple (junk-stream scratch leaks, huge
-  intra DCs) go to a small int32 ESCAPE lane — the encoding is decided
-  per record by exact divisibility, so it is lossless by construction;
+- pool records carry the UNPREMULTIPLIED quotient as int8 and the device
+  multiplies by the position's premultiplier (tables.PREMULTIPLIER_MATRIX);
+  values with no exact int8 quotient (large levels, junk-stream scratch
+  leaks, huge intra DCs) go to an int32 ESCAPE lane — the encoding is
+  decided per record by exact divisibility + range, so it is lossless by
+  construction;
+- record indices ship as uint16 DELTAS from the previous record's flat
+  index (both pools are ascending end to end); a gap over 0xFFFF emits
+  value-0 HOP records of delta 0xFFFF until the remainder fits, so the
+  decode is one unconditional cumsum feeding the same sorted scatter —
+  at 3 bytes per main record vs the 8 of (uint32 idx, int32 val), the
+  h2d bytes of a 1080p picture drop ~2x (the transport is the
+  production bottleneck on thin links, BENCH_r04 per-lap attribution);
 - per-MB metadata packs to 7 bytes (mv 2x int16, a uint16 of 2-bit IDCT
   variant classes per block, and one uint8 of intra bits + src_sel) —
   the reconstruction only ever needs the variant class {0, 1, sparse,
@@ -124,7 +131,9 @@ def _pes_packet(stream_id: int, payload: bytes) -> bytes:
 
 
 _MIN_KM = 4096    # minimum main-pool bucket (records)
-_MIN_KE = 64      # minimum escape-pool bucket (records)
+_MIN_KE = 512     # minimum escape-pool bucket (records; quotients
+                  # outside int8 escape, a few % of records on typical
+                  # content, so the floor is sized for real use)
 
 
 def pool_bucket(n: int, floor: int) -> int:
@@ -142,18 +151,26 @@ def blob_layout(geom: FrameGeometry, window: int, km: int, ke: int):
     mv_h/mv_v int16[window*mb]   motion vector actually used
     nbcls     uint16[window*mb]  2-bit IDCT variant class per block
     mbmisc    uint8[window*mb]   bits0-5 per-block intra, bits6-7 src_sel
-    main_idx  uint32[km]         flat index ((w*mb+m)*6+b)*64 + pos
-    main_val  int16[km]          value / premultiplier[pos] (exact)
-    esc_idx   uint32[ke]         escape records: full int32 value
-    esc_val   int32[ke]
+    main_didx uint16[km]         delta of flat index ((w*mb+m)*6+b)*64+pos
+                                 from the previous record (chain starts
+                                 at 0); 0xFFFF with value 0 may be a HOP
+                                 covering part of a larger gap
+    main_val  int8[km]           value / premultiplier[pos] (exact int8)
+    esc_didx  uint16[ke]         escape records: same delta chain,
+    esc_val   int32[ke]          full int32 coefficient value
+
+    Pads in all four record lanes are zeros (a value-0 add at the chain's
+    current index): constant, sorted-safe, recycled-buffer-friendly.
     """
     mb = geom.mb_size
+    # The device decodes indices with an int32 cumsum.
+    assert window * mb * 6 * 64 < 2 ** 31, "window dense span overflows int32"
     fields = [
         ("flags", 4 * window),
         ("mv_h", 2 * window * mb), ("mv_v", 2 * window * mb),
         ("nbcls", 2 * window * mb), ("mbmisc", window * mb),
-        ("main_idx", 4 * km), ("main_val", 2 * km),
-        ("esc_idx", 4 * ke), ("esc_val", 4 * ke),
+        ("main_didx", 2 * km), ("main_val", km),
+        ("esc_didx", 2 * ke), ("esc_val", 4 * ke),
     ]
     offs = {}
     pos = 0
@@ -167,8 +184,8 @@ def blob_layout(geom: FrameGeometry, window: int, km: int, ke: int):
 def plan_pool_records(plan):
     """Split one plan's nonzero coefficients into (main, escape) records.
 
-    main: (idx int64[], quot int16[]) where coeff == quot * premult[pos];
-    escape: (idx int64[], val int32[]) for values with no exact int16
+    main: (idx int64[], quot int8[]) where coeff == quot * premult[pos];
+    escape: (idx int64[], val int32[]) for values with no exact int8
     quotient.  idx is the flat position within the picture (block*64+pos).
     """
     flat = plan.coeffs.reshape(-1)
@@ -176,18 +193,60 @@ def plan_pool_records(plan):
     v = flat[idx].astype(np.int64)
     p = _PREMULT[idx & 63].astype(np.int64)
     q = v // p
-    main = (q * p == v) & (q >= -32768) & (q <= 32767)
-    return (idx[main], q[main].astype(np.int16),
+    main = (q * p == v) & (q >= -128) & (q <= 127)
+    return (idx[main], q[main].astype(np.int8),
             idx[~main], v[~main].astype(np.int32))
 
 
-def count_pool_records(plans) -> tuple[int, int]:
-    """Total (main, escape) record counts over a window of plans."""
-    nm = ne = 0
-    for plan, _ in plans:
-        mi, _, ei, _ = plan_pool_records(plan)
-        nm += mi.size
-        ne += ei.size
+_HOP = 0xFFFF
+
+
+def delta_encode(idx: np.ndarray, prev: int = 0):
+    """Delta-encode an ascending absolute index array into the blob's
+    uint16 chain form: returns (didx uint16[n_out], pos int64[n]) where
+    pos[k] is the output slot of input record k (the other slots are
+    value-0 HOP records of delta 0xFFFF covering gaps over 64K)."""
+    d = np.empty(idx.size, np.int64)
+    if idx.size:
+        d[0] = idx[0] - prev
+        np.subtract(idx[1:], idx[:-1], out=d[1:])
+    nh = np.maximum(d - 1, 0) // _HOP        # hop records before record k
+    pos = np.arange(idx.size, dtype=np.int64) + np.cumsum(nh)
+    didx = np.full(pos[-1] + 1 if idx.size else 0, _HOP, np.uint16)
+    didx[pos] = (d - nh * _HOP).astype(np.uint16)
+    return didx, pos
+
+
+def _window_records(plans, mb: int, records=None):
+    """Concatenate a window's (main, escape) records in window-absolute
+    ascending index order: ((midx, mval), (eidx, eval))."""
+    mi_l, mv_l, ei_l, ev_l = [], [], [], []
+    for w, (plan, _ptype) in enumerate(plans):
+        mi, mv, ei, ev = records[w] if records is not None \
+            else plan_pool_records(plan)
+        base = w * mb * 6 * 64
+        mi_l.append(mi + base)
+        mv_l.append(mv)
+        ei_l.append(ei + base)
+        ev_l.append(ev)
+    cat = lambda parts, dt: (np.concatenate(parts) if parts
+                             else np.zeros(0, dt))
+    return ((cat(mi_l, np.int64), cat(mv_l, np.int8)),
+            (cat(ei_l, np.int64), cat(ev_l, np.int32)))
+
+
+def count_pool_records(plans, geom: FrameGeometry = None) -> tuple[int, int]:
+    """Exact (main, escape) encoded record counts — including hop
+    records — for a window of plans packed by pack_plans_blob.  `geom`
+    defaults to the first plan's implied mb count being irrelevant:
+    hops depend only on index gaps, which the per-picture bases fix,
+    so mb is taken from the plans themselves."""
+    if not plans:
+        return 0, 0
+    mb = plans[0][0].mv_h.shape[0]
+    (mi, _), (ei, _) = _window_records(plans, mb)
+    nm = delta_encode(mi)[0].size
+    ne = delta_encode(ei)[0].size
     return nm, ne
 
 
@@ -218,9 +277,9 @@ def blob_views(blob: np.ndarray, geom: FrameGeometry, window: int,
         "mv_v": view("mv_v", np.int16, window * mb),
         "nbcls": view("nbcls", np.uint16, window * mb),
         "mbmisc": view("mbmisc", np.uint8, window * mb),
-        "main_idx": view("main_idx", np.uint32, km),
-        "main_val": view("main_val", np.int16, km),
-        "esc_idx": view("esc_idx", np.uint32, ke),
+        "main_didx": view("main_didx", np.uint16, km),
+        "main_val": view("main_val", np.int8, km),
+        "esc_didx": view("esc_didx", np.uint16, ke),
         "esc_val": view("esc_val", np.int32, ke),
     }
 
@@ -242,21 +301,23 @@ def pack_plans_blob(plans, geom: FrameGeometry, window: int,
     nbcls = v["nbcls"].reshape(window, mb)
     misc = v["mbmisc"].reshape(window, mb)
 
-    nm = ne = 0
+    (mi, mv), (ei, ev) = _window_records(plans, mb, records)
+    mdidx, mpos = delta_encode(mi)
+    edidx, epos = delta_encode(ei)
+    if mdidx.size > km or edidx.size > ke:
+        raise ValueError(
+            f"pool capacity exceeded: main {mdidx.size}/{km}, "
+            f"esc {edidx.size}/{ke}")
+    v["main_didx"][:mdidx.size] = mdidx
+    v["main_val"][mpos] = mv
+    v["esc_didx"][:edidx.size] = edidx
+    v["esc_val"][epos] = ev
+    # Pad records in both lanes are zeros (np.zeros blob): a value-0 add
+    # at the chain's final index — the cumsum-decoded pools stay
+    # nondecreasing end to end (device scatter ABI: indices_are_sorted;
+    # plan_pool_records emits ascending flat indices per picture and
+    # window bases grow, so the real records are already sorted).
     for w, (plan, ptype) in enumerate(plans):
-        mi, mv, ei, ev = records[w] if records is not None \
-            else plan_pool_records(plan)
-        if nm + mi.size > km or ne + ei.size > ke:
-            raise ValueError(
-                f"pool capacity exceeded: main {nm + mi.size}/{km}, "
-                f"esc {ne + ei.size}/{ke}")
-        base = w * mb * 6 * 64
-        v["main_idx"][nm:nm + mi.size] = (mi + base).astype(np.uint32)
-        v["main_val"][nm:nm + mi.size] = mv
-        v["esc_idx"][ne:ne + ei.size] = (ei + base).astype(np.uint32)
-        v["esc_val"][ne:ne + ei.size] = ev
-        nm += mi.size
-        ne += ei.size
         mvh[w] = plan.mv_h.astype(np.int16)
         mvv[w] = plan.mv_v.astype(np.int16)
         nbcls[w] = _nb_classes(plan.nblocks)
@@ -265,13 +326,6 @@ def pack_plans_blob(plans, geom: FrameGeometry, window: int,
                    | (plan.src_sel.astype(np.uint8) << 6))
         is_ref = ptype in (PICTURE_TYPE_INTRA, PICTURE_TYPE_PREDICTIVE)
         flags[w] = (1 if is_ref else 0) | 2
-    # Pad records: value 0 at the LAST dense index keeps the pools
-    # ascending end to end (device scatter ABI: indices_are_sorted;
-    # plan_pool_records emits ascending flat indices per picture and
-    # window bases grow, so the real records are already sorted).
-    dense_last = window * mb * 6 * 64 - 1
-    v["main_idx"][nm:] = dense_last
-    v["esc_idx"][ne:] = dense_last
     return blob
 
 
@@ -313,19 +367,26 @@ def densify_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
     def get(name, dtype, n):
         return _blob_field(blob, offs, name, dtype, n)
 
-    midx = get("main_idx", jnp.uint32, km).astype(jnp.int32)
-    mval = get("main_val", jnp.int16, km).astype(jnp.int32)
-    contrib = mval * jnp.asarray(_PREMULT)[midx & 63]
-    eidx = get("esc_idx", jnp.uint32, ke).astype(jnp.int32)
-    eval_ = get("esc_val", jnp.int32, ke)
-    # Blob ABI: each pool's indices are ascending (the emitters walk
-    # blocks and positions in order; pads carry value 0 at the last
-    # dense index), so both scatters declare indices_are_sorted — the
-    # sorted TPU scatter lowering is ~8x cheaper to compile and run
-    # than the general one at these sizes.  Two independent scatters
-    # summed, NOT one .at[].add().at[].add() chain (the chained form is
-    # another compile-time pathology).
     n = window * mb * 6 * 64
+    # Indices ship as uint16 deltas (hop records bridge gaps over 64K
+    # with value 0); one int32 cumsum rebuilds the absolute chain.  The
+    # min(n-1) clamp is insurance against malformed blobs only — a
+    # well-formed chain ends at/below the window's last real index —
+    # and preserves monotonicity, so sortedness still holds.
+    midx = jnp.cumsum(get("main_didx", jnp.uint16, km).astype(jnp.int32))
+    midx = jnp.minimum(midx, n - 1)
+    mval = get("main_val", jnp.int8, km).astype(jnp.int32)
+    contrib = mval * jnp.asarray(_PREMULT)[midx & 63]
+    eidx = jnp.cumsum(get("esc_didx", jnp.uint16, ke).astype(jnp.int32))
+    eidx = jnp.minimum(eidx, n - 1)
+    eval_ = get("esc_val", jnp.int32, ke)
+    # Blob ABI: each pool's decoded indices are nondecreasing (deltas
+    # are unsigned; pads are value-0 records of delta 0), so both
+    # scatters declare indices_are_sorted — the sorted TPU scatter
+    # lowering is ~8x cheaper to compile and run than the general one
+    # at these sizes.  Two independent scatters summed, NOT one
+    # .at[].add().at[].add() chain (the chained form is another
+    # compile-time pathology).
     main = jnp.zeros(n, jnp.int32).at[midx].add(
         contrib, indices_are_sorted=True)
     esc = jnp.zeros(n, jnp.int32).at[eidx].add(
@@ -397,12 +458,111 @@ def unpack_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
 _PALLAS_VMEM_BUDGET = 15 << 20
 
 
+_RECON_PROBE_CACHE: dict = {}
+
+
+def probe_recon(geom: FrameGeometry, min_s: float = 0.4) -> dict:
+    """Measure both reconstruct formulations on THIS process's device —
+    quiet and under a concurrent h2d pump (the production pipeline's
+    steady state) — and pick one.  Cached per (process, geometry); ~1-2 s
+    on first use.  Ties within 25% in both regimes keep XLA (the
+    historical evidence is noise-sensitive either way, BASELINE r3/r4
+    recon blocks — this probe exists to end that per-round relitigating
+    with a measurement from the same run).  Returns {"pick", "tie",
+    "quiet_ms": {...}, "contended_ms": {...}}."""
+    if geom in _RECON_PROBE_CACHE:
+        return _RECON_PROBE_CACHE[geom]
+    import threading
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    if not _pallas_vmem_fits(geom):
+        out = {"pick": "xla", "tie": False,
+               "reason": "pallas exceeds the VMEM budget"}
+        _RECON_PROBE_CACHE[geom] = out
+        return out
+
+    from ..ops.video_recon import make_reconstruct_jax
+    from ..ops.pallas_kernels import reconstruct_picture_pallas
+
+    mb = geom.mb_size
+    rng = np.random.default_rng(11)
+    frame = jax.device_put(
+        rng.integers(0, 256, geom.total_size).astype(np.uint8))
+    cf = jax.device_put(
+        rng.integers(-2000, 2000, (mb, 6, 64)).astype(np.int32))
+    nb = jax.device_put(rng.integers(0, 30, (mb, 6)).astype(np.int32))
+    zn = jax.device_put(np.zeros((mb, 6), np.int32))
+    ones = jax.device_put(np.ones(mb, np.int32))
+    mv = jax.device_put(rng.integers(-16, 17, mb).astype(np.int32))
+    recon = make_reconstruct_jax(geom)
+    interp = jax.devices()[0].platform != "tpu"
+    fns = {
+        "xla": lambda: recon(frame, frame, frame, cf, nb, zn, ones, mv, mv),
+        "pallas": lambda: reconstruct_picture_pallas(
+            frame, frame, frame, cf, nb, zn, ones, mv, mv, geom,
+            interpret=interp),
+    }
+
+    def timed(fn, pump_buf=None):
+        stop = []
+        if pump_buf is not None:
+            def pump():
+                while not stop:
+                    jax.device_put(pump_buf).block_until_ready()
+            th = threading.Thread(target=pump, daemon=True)
+        jax.block_until_ready(fn())   # compile + warm
+        if pump_buf is not None:
+            th.start()
+        try:
+            t0 = time.perf_counter()
+            k = 0
+            while time.perf_counter() - t0 < min_s:
+                for _ in range(8):
+                    out = fn()
+                jax.block_until_ready(out)
+                k += 8
+            return (time.perf_counter() - t0) / k * 1000
+        finally:
+            stop.append(True)
+            if pump_buf is not None:
+                th.join()
+
+    pump_buf = rng.integers(0, 256, 4 << 20).astype(np.uint8)
+    quiet = {k: timed(f) for k, f in fns.items()}
+    cont = {k: timed(f, pump_buf) for k, f in fns.items()}
+    # A formulation must beat the other by >25% in at least one regime
+    # without losing the other to displace the XLA default.
+    def wins(a, b):
+        return quiet[a] <= quiet[b] * 1.25 and cont[a] <= cont[b] * 1.25 \
+            and (quiet[a] * 1.25 < quiet[b] or cont[a] * 1.25 < cont[b])
+
+    if wins("pallas", "xla"):
+        pick, tie = "pallas", False
+    elif wins("xla", "pallas"):
+        pick, tie = "xla", False
+    else:
+        pick, tie = "xla", True   # tie within noise, keeping xla
+    out = {"pick": pick, "tie": tie,
+           "quiet_ms": {k: round(v, 3) for k, v in quiet.items()},
+           "contended_ms": {k: round(v, 3) for k, v in cont.items()}}
+    _RECON_PROBE_CACHE[geom] = out
+    return out
+
+
 def _resolve_recon(recon: str, geom: FrameGeometry) -> str:
     if recon == "auto":
         import os
         forced = os.environ.get("MPEG_TPU_RECON", "")
         if forced in ("xla", "pallas"):
             recon = forced
+        elif forced == "probe":
+            # Measured per-process pick (quiet + contended, ~1-2 s once
+            # per geometry) — ends the static-default debate wherever
+            # startup cost is acceptable.
+            return probe_recon(geom)["pick"]
     if recon == "pallas":
         # Fail with arithmetic instead of a Mosaic VMEM allocation
         # error deep inside compilation.
@@ -560,6 +720,41 @@ make_scan_decoder = make_dense_scan_decoder
 
 
 @functools.lru_cache(maxsize=None)
+def make_picture_blob_recon(geom: FrameGeometry, km: int, ke: int):
+    """Jitted SINGLE-picture reconstruction fed by a 1-picture window
+    blob — the interactive decode path's transport (Video backend="jax",
+    the MPEG class).  In the reference the one public API runs the same
+    asm kernels as everything else (mpeg.go:416-433); here the
+    interactive path rides the same pool-record transport as the batch
+    decoder, so a 1080p picture ships ~0.1 MB instead of the 12.5 MB
+    dense coefficient tensor.  Two executables like the window decoder
+    (the standalone scatter is the compile-time-safe form, see
+    densify_blob_jax)."""
+    import jax
+    import jax.numpy as jnp
+
+    mb = geom.mb_size
+
+    @jax.jit
+    def densify(blob):
+        return densify_blob_jax(blob, geom, 1, km, ke)
+
+    @jax.jit
+    def recon(cur, fwd, bwd, blob, dense):
+        meta = unpack_blob_meta(blob, geom, 1, km, ke)
+        return reconstruct_picture(
+            cur, fwd, bwd, dense.reshape(mb, 6, 64),
+            meta["nblocks"][0], meta["intra_blk"][0], meta["src_sel"][0],
+            meta["mv_h"][0], meta["mv_v"][0], geom, jnp)
+
+    def run(cur, fwd, bwd, blob):
+        blob = jax.device_put(blob)   # one h2d; both stages consume it
+        return recon(cur, fwd, bwd, blob, densify(blob))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def _rgba_converter(geom: FrameGeometry):
     """Jitted flat-YCbCr -> RGBA (for the end-of-stream flush frame)."""
     import jax
@@ -684,9 +879,14 @@ class BatchVideoDecoder:
         # barrier), its host buffer returns through _blob_free carrying
         # the pool high-water marks of its last fill, so the native
         # tail pad is O(live records) instead of O(pool capacity) (see
-        # NativeVideoParser.blob_window).  Single-producer/single-
-        # consumer: only the dispatch thread appends to _blob_free (via
-        # _reap_blobs), only the parse thread pops.
+        # NativeVideoParser.blob_window).  TWO producers append to
+        # _blob_free — the dispatch thread (via _reap_blobs) and the
+        # parse/prefetch thread (the zero-picture early return in
+        # _native_window_blob hands its untouched buffer straight
+        # back) — and only the parse thread pops.  CPython deque
+        # append/popleft are GIL-atomic, so this needs no lock; the
+        # free-list cap in _reap_blobs is best-effort (the dual
+        # producer can exceed it by one).
         import collections
         self._blob_inflight = collections.deque()
         self._blob_free = collections.deque()
@@ -698,13 +898,18 @@ class BatchVideoDecoder:
         (serving-style clip extraction without decoding the prefix).
 
         Returns (decoder, packet_pts) or None when no intra packet is
-        found.  Uses a deterministic linear scan over the video packets
-        (host byte-work at memory speed; the interactive MPEG class
-        keeps the reference's byte-rate jump seek, whose convergence is
-        state-sensitive).  The clip is the PS pack+system headers plus
-        the stream from the intra packet on — the same tune-in contract
-        as the reference's intra seek (streams carry per-GOP sequence
-        headers).
+        found.  The scan is seeded by the demuxer's byte-rate estimate
+        (demux.py get_duration / seek's own anchor), so deep targets
+        read O(scan window) bytes, not O(stream): jump a margin before
+        the target, scan deterministically forward, and widen the
+        margin backwards only when the jump overshot every intra at or
+        before the target; the stream-head linear scan remains as the
+        final fallback (and the clamp-to-first-intra path for too-early
+        targets).  The clip is the PS pack+system headers plus the
+        stream from the intra packet on — the same tune-in contract as
+        the reference's intra seek (streams carry per-GOP sequence
+        headers).  The decoder's `_seek_scan_bytes` records the bytes
+        examined (asserted O(window) by the soak test).
         """
         import io
         from ..buffer import Buffer
@@ -726,29 +931,62 @@ class BatchVideoDecoder:
         anchor = dmx.first_pts.get(PACKET_VIDEO_1, 0.0)
         target = anchor + max(0.0, seek_time)
 
-        best_off = -1
-        best_pts = PACKET_INVALID_TS
-        es_head = b""   # leading video ES bytes (holds the seq header)
-        while buf.find_start_code(PACKET_VIDEO_1) != -1:
-            packet_start = buf.tell() - 4   # the 00 00 01 E0 itself
+        # Leading video ES bytes (hold the sequence header): bounded
+        # packet reads from the stream head.
+        dmx._buffer_seek(header_end)
+        es_head = b""
+        while len(es_head) < 4096 and \
+                buf.find_start_code(PACKET_VIDEO_1) != -1:
             packet = dmx._decode_packet(PACKET_VIDEO_1)
             if packet is None:
                 break
-            if len(es_head) < 4096:
-                es_head += bytes(packet.data)
-            if packet.pts == PACKET_INVALID_TS:
-                continue
-            if payload_has_intra(packet.data, packet.length) and \
-                    (best_off < 0 or
-                     best_pts <= packet.pts <= target):
-                # latest intra at/before the target; a too-early target
-                # clamps to the stream's first intra
-                best_off, best_pts = packet_start, packet.pts
-            if best_off >= 0 and packet.pts > target + REORDER_WINDOW:
-                # past the reorder window with an intra in hand: nothing
-                # better ahead (without one, keep scanning — the first
-                # intra may come long after the first PTS)
+            es_head += bytes(packet.data)
+
+        # Byte-rate estimate for the jump (duration's tail scan is
+        # itself O(tail windows), demux.py:get_duration).
+        import math
+        dmx.get_duration(PACKET_VIDEO_1)
+        span = dmx.last_pts.get(PACKET_VIDEO_1, PACKET_INVALID_TS) - anchor
+        byte_rate = (len(data) / span) if span > 0 else float("nan")
+
+        scan_bytes = len(es_head)
+        best_off = -1
+        best_pts = PACKET_INVALID_TS
+        margin = 2.0
+        for _attempt in range(8):
+            from_head = (not math.isfinite(byte_rate)) or \
+                target - margin <= anchor
+            if from_head:
+                jump = header_end
+            else:
+                jump = min(int((target - margin - anchor) * byte_rate),
+                           max(len(data) - 256, header_end))
+            dmx._buffer_seek(jump)
+            while buf.find_start_code(PACKET_VIDEO_1) != -1:
+                packet_start = buf.tell() - 4   # the 00 00 01 E0 itself
+                packet = dmx._decode_packet(PACKET_VIDEO_1)
+                if packet is None:
+                    break
+                if packet.pts == PACKET_INVALID_TS:
+                    continue
+                if payload_has_intra(packet.data, packet.length) and \
+                        (best_off < 0 or
+                         best_pts <= packet.pts <= target) and \
+                        (from_head or packet.pts <= target):
+                    # latest intra at/before the target; from the stream
+                    # head, a too-early target clamps to the stream's
+                    # first intra (mid-stream jumps must not clamp to a
+                    # LATER intra — they widen backwards instead)
+                    best_off, best_pts = packet_start, packet.pts
+                if best_off >= 0 and packet.pts > target + REORDER_WINDOW:
+                    # past the reorder window with an intra in hand:
+                    # nothing better ahead (without one, keep scanning —
+                    # the first intra may come long after the first PTS)
+                    break
+            scan_bytes += buf.tell() - jump
+            if best_off >= 0 or from_head:
                 break
+            margin *= 4   # overshot every intra <= target: widen back
 
         if best_off < 0:
             return None
@@ -760,6 +998,7 @@ class BatchVideoDecoder:
         clip = bytes(data[:header_end]) + seq + bytes(data[best_off:])
         dec = cls(clip, **kwargs)
         dec._drop_leading_b = True
+        dec._seek_scan_bytes = scan_bytes
         return dec, best_pts
 
     def _make_native(self, data: bytes):
@@ -908,12 +1147,20 @@ class BatchVideoDecoder:
         types = np.zeros(w, np.int32)
         blob, v, hwm = self._alloc_window_blob()
         w_done = nm = ne = 0
+        prev_m = prev_e = 0   # delta-chain tails, carried across growth
+        # Worst-case hop-record count for the whole window: total index
+        # gap <= the window's dense span, one hop per 0xFFFF of gap.
+        # Growth sizes buckets with this slack so the native call's
+        # conservative per-picture capacity bound always fits after one
+        # growth (blob_window_impl checks records + a prev-aware bound).
+        hop_slack = (w * self.geom.mb_size * 6 * 64 >> 16) + w + 2
         while True:
-            n, nm, ne, pending = self.native.blob_window(
+            n, nm, ne, pending, prev_m, prev_e = self.native.blob_window(
                 w_done, w, self._km, self._ke, nm, ne,
-                v["main_idx"], v["main_val"], v["esc_idx"], v["esc_val"],
+                v["main_didx"], v["main_val"], v["esc_didx"], v["esc_val"],
                 v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
-                v["flags"], types, hw_nm=hwm[0], hw_ne=hwm[1])
+                v["flags"], types, hw_nm=hwm[0], hw_ne=hwm[1],
+                prev_m=prev_m, prev_e=prev_e)
             w_done += n
             if pending == 0 or w_done >= w:
                 break
@@ -921,17 +1168,18 @@ class BatchVideoDecoder:
             # the partially-filled window into the new layout.
             cm, ce = self.native.blob_counts()
             old_km, old_ke = self._km, self._ke
-            self._km = pool_bucket(nm + cm, self._km)
-            self._ke = pool_bucket(max(ne + ce, 1), self._ke)
+            self._km = pool_bucket(nm + cm + hop_slack, self._km)
+            self._ke = pool_bucket(max(ne + ce + hop_slack, 1), self._ke)
             old = v
             blob, v, hwm = self._alloc_window_blob()
             for k in old:
                 v[k][:old[k].size] = old[k]
-            # The copied prefix ends in the old pools' pad tails (the
-            # pad record (dense_last, value 0) depends only on
-            # (window, mb)), so pads hold up to the old capacities;
-            # past them, only the allocated buffer's own mark is
-            # guaranteed — the max of the two bounds the unpadded gap.
+            # The copied prefix (a self-contained delta chain) ends in
+            # the old pools' zero pad tails — the pad record (delta 0,
+            # value 0) is layout-independent — so pads hold up to the
+            # old capacities; past them, only the allocated buffer's own
+            # mark is guaranteed — the max of the two bounds the
+            # unpadded gap.
             hwm = (max(old_km, hwm[0]), max(old_ke, hwm[1]))
         if w_done == 0:
             # Hand the buffer straight back: the 0-picture call still
@@ -974,8 +1222,10 @@ class BatchVideoDecoder:
             blob = None
             if plans and self.transport == "blob":
                 records = [plan_pool_records(p) for p, _ in plans]
-                nm = sum(r[0].size for r in records)
-                ne = sum(r[2].size for r in records)
+                (mi, _), (ei, _) = _window_records(
+                    plans, self.geom.mb_size, records)
+                nm = delta_encode(mi)[0].size
+                ne = delta_encode(ei)[0].size
                 self._km = max(self._km, pool_bucket(nm, _MIN_KM))
                 self._ke = max(self._ke, pool_bucket(ne, _MIN_KE))
                 blob = pack_plans_blob(plans, self.geom, self.window,
@@ -1009,7 +1259,17 @@ class BatchVideoDecoder:
                     try:
                         item = dec._parse_stage()
                     except BaseException as e:   # noqa: BLE001
-                        q.put(e)
+                        # Same timeout-and-recheck loop as the normal
+                        # puts: a full queue on an abandoned decoder
+                        # must not pin this thread (and its windows)
+                        # forever.
+                        del dec
+                        while not (stop or wr() is None):
+                            try:
+                                q.put(e, timeout=0.5)
+                                break
+                            except queue.Full:
+                                pass
                         return
                     eos = not item[2]
                     del dec   # no strong decoder ref during the put

@@ -22,6 +22,13 @@ class DecodeStats:
     host_seconds: float = 0.0
     device_seconds: float = 0.0
     transfer_bytes: int = 0
+    # detailed=True asks decoders to split device_seconds into
+    # h2d / dispatch / d2h (costs one extra device sync per window —
+    # attribution mode, not the default hot path).
+    detailed: bool = False
+    h2d_seconds: float = 0.0
+    dispatch_seconds: float = 0.0
+    d2h_seconds: float = 0.0
     _t0: float = field(default_factory=time.time)
 
     @contextlib.contextmanager
@@ -60,6 +67,10 @@ class DecodeStats:
             "device_seconds": round(self.device_seconds, 3),
             "transfer_mb": round(self.transfer_bytes / 1e6, 2),
             "wall_seconds": round(wall, 3),
+            **({"h2d_seconds": round(self.h2d_seconds, 3),
+                "dispatch_seconds": round(self.dispatch_seconds, 3),
+                "d2h_seconds": round(self.d2h_seconds, 3)}
+               if self.detailed else {}),
         }
 
 

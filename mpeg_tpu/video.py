@@ -23,9 +23,7 @@ import numpy as np
 
 from . import tables as T
 from .buffer import Buffer, CorruptStream
-from .ops.video_recon import (
-    FrameGeometry, reconstruct_picture, make_reconstruct_jax,
-)
+from .ops.video_recon import FrameGeometry, reconstruct_picture
 from .ops import color
 
 
@@ -130,12 +128,14 @@ class Video:
         (native when available, python otherwise).  Unset arguments fall
         back to `config` (default config.DEFAULT).
 
-        Transport note: the interactive "jax" backend ships DENSE plan
-        tensors per picture (12.5 MB at 1080p, ~97% zeros) — fine at the
-        fixture sizes this class targets, a ~50x transport handicap at
-        1080p.  Throughput decode belongs to parallel.BatchVideoDecoder,
-        whose window-pool blob transport packs the same pictures to
-        ~0.2-0.3 MB each.
+        Transport note: the interactive "jax" backend ships each picture
+        as a delta-encoded pool-record blob — the same transport as
+        parallel.BatchVideoDecoder (~0.1 MB per 1080p picture), so the
+        reference-shaped API is also the fast path at large frames
+        (parity with mpeg.go:416-433, where the one public API runs the
+        same asm kernels as everything else).  Throughput decode still
+        belongs to the batch decoder, which amortizes dispatches over
+        whole windows.
         """
         from .config import DEFAULT
         cfg = config if config is not None else DEFAULT
@@ -163,7 +163,10 @@ class Video:
 
         self.geom: Optional[FrameGeometry] = None
         self._maps = None
-        self._recon_jax = None
+        # Sticky pool-bucket capacities for the per-picture blob
+        # transport (backend="jax"); monotone growth limits recompiles.
+        self._blob_km = 0
+        self._blob_ke = 0
 
         self.start_code = -1
         self.picture_type = 0
@@ -497,8 +500,6 @@ class Video:
 
     def _init_geometry(self) -> None:
         self.geom = FrameGeometry.for_size(self.width, self.height)
-        if self.backend not in ("numpy", "plan"):
-            self._recon_jax = make_reconstruct_jax(self.geom)
         self.frame_current = self._new_frame()
         self.frame_forward = self._new_frame()
         self.frame_backward = self._new_frame()
@@ -606,12 +607,23 @@ class Video:
                 plan.src_sel, plan.mv_h, plan.mv_v,
                 self.geom, np)
         else:
-            import jax.numpy as jnp
-            cur.flat = self._recon_jax(
-                cur.flat, fwd.flat, bwd.flat,
-                jnp.asarray(plan.coeffs), jnp.asarray(plan.nblocks),
-                jnp.asarray(plan.intra_blk), jnp.asarray(plan.src_sel),
-                jnp.asarray(plan.mv_h), jnp.asarray(plan.mv_v))
+            # Pool-record blob transport (the batch decoder's ABI with
+            # window=1): pack this picture's nonzero coefficients as
+            # delta-encoded records and reconstruct on device.  Pool
+            # buckets are sticky per decoder (growth recompiles, like
+            # BatchVideoDecoder's).
+            from .parallel import batch as B
+            item = [(plan, self.picture_type)]
+            nm, ne = B.count_pool_records(item)
+            self._blob_km = max(self._blob_km,
+                                B.pool_bucket(nm, B._MIN_KM))
+            self._blob_ke = max(self._blob_ke,
+                                B.pool_bucket(max(ne, 1), B._MIN_KE))
+            blob = B.pack_plans_blob(item, self.geom, 1,
+                                     self._blob_km, self._blob_ke)
+            run = B.make_picture_blob_recon(self.geom, self._blob_km,
+                                            self._blob_ke)
+            cur.flat = run(cur.flat, fwd.flat, bwd.flat, blob)
 
     def _decode_slice(self, slice_index: int) -> None:
         buf = self.buf

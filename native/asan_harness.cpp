@@ -43,16 +43,20 @@ static int run_blob(const std::vector<uint8_t>& data) {
     std::vector<uint16_t> nbcls(mb);
     std::vector<uint8_t> misc(mb);
     int pics = 0;
+    // Hop-record bound: each emit below starts a fresh chain (prev 0)
+    // at a base up to 7 * pic_span, so the gap can span 8 pictures.
+    int64_t hb = ((int64_t)8 * mb * 6 * 64 >> 16) + 2;
     while (vp_parse_blob_prepare(p) != 0) {
         int64_t counts[2];
         vp_blob_counts(p, counts);
-        std::vector<uint32_t> mi(counts[0] ? counts[0] : 1);
-        std::vector<int16_t> mv(counts[0] ? counts[0] : 1);
-        std::vector<uint32_t> ei(counts[1] ? counts[1] : 1);
-        std::vector<int32_t> ev(counts[1] ? counts[1] : 1);
+        std::vector<uint16_t> mi(counts[0] + hb);
+        std::vector<int8_t> mv(counts[0] + hb);
+        std::vector<uint16_t> ei(counts[1] + hb);
+        std::vector<int32_t> ev(counts[1] + hb);
+        int64_t io[4] = {0, 0, 0, 0};
         vp_blob_emit(p, mi.data(), mv.data(), ei.data(), ev.data(),
                      mvh.data(), mvv.data(), nbcls.data(), misc.data(),
-                     (int64_t)(pics % 8) * mb * 6 * 64);
+                     (int64_t)(pics % 8) * mb * 6 * 64, io);
         pics++;
     }
     vp_destroy(p);
@@ -70,34 +74,38 @@ static int run_window(const std::vector<uint8_t>& data) {
     const int64_t W = 8;
     int64_t km = 64, ke = 1;
     int pics = 0;
+    const int64_t slack = (W * mb * 6 * 64 >> 16) + W + 2;   // hop bound
     for (;;) {
-        int64_t w_done = 0, nm = 0, ne = 0;
+        int64_t w_done = 0, nm = 0, ne = 0, pm = 0, pe = 0;
         for (;;) {
-            std::vector<uint32_t> mi(km);
-            std::vector<int16_t> mv(km);
-            std::vector<uint32_t> ei(ke);
+            std::vector<uint16_t> mi(km);
+            std::vector<int8_t> mv(km);
+            std::vector<uint16_t> ei(ke);
             std::vector<int32_t> ev(ke);
             std::vector<int16_t> mvh(W * mb), mvv(W * mb);
             std::vector<uint16_t> nbc(W * mb);
             std::vector<uint8_t> msc(W * mb);
             std::vector<int32_t> flags(W), types(W);
-            int64_t out[3];
+            int64_t out[5];
             // NOTE: arrays are re-zeroed per growth retry here (the real
             // caller copies the partial window across); emitted records
             // stay consumed either way, which is what the sweep checks.
             w_done += vp_blob_window(p, w_done, W, km, ke, nm, ne,
                                      km, ke,   // fresh buffers: full pad
+                                     pm, pe,
                                      mi.data(), mv.data(), ei.data(),
                                      ev.data(), mvh.data(), mvv.data(),
                                      nbc.data(), msc.data(), flags.data(),
                                      types.data(), mb, out);
             nm = out[0];
             ne = out[1];
+            pm = out[3];
+            pe = out[4];
             if (out[2] == 0 || w_done >= W) break;
             int64_t counts[2];
             vp_blob_counts(p, counts);
-            while (nm + counts[0] > km) km *= 2;
-            while (ne + counts[1] > ke) ke *= 2;
+            while (nm + counts[0] + slack > km) km *= 2;
+            while (ne + counts[1] + slack > ke) ke *= 2;
         }
         if (w_done == 0) break;
         pics += (int)w_done;
@@ -176,16 +184,18 @@ static int run_pipeline(const std::vector<uint8_t>& data) {
             std::vector<int16_t> mvh(mb), mvv(mb);
             std::vector<uint16_t> nbcls(mb);
             std::vector<uint8_t> misc(mb);
+            int64_t hb = ((int64_t)mb * 6 * 64 >> 16) + 2;
             while (pp_video_blob_prepare(p) != 0) {
                 int64_t counts[2];
                 pp_video_blob_counts(p, counts);
-                std::vector<uint32_t> mi(counts[0] ? counts[0] : 1);
-                std::vector<int16_t> mv(counts[0] ? counts[0] : 1);
-                std::vector<uint32_t> ei(counts[1] ? counts[1] : 1);
-                std::vector<int32_t> ev(counts[1] ? counts[1] : 1);
+                std::vector<uint16_t> mi(counts[0] + hb);
+                std::vector<int8_t> mv(counts[0] + hb);
+                std::vector<uint16_t> ei(counts[1] + hb);
+                std::vector<int32_t> ev(counts[1] + hb);
+                int64_t io[4] = {0, 0, 0, 0};
                 pp_video_blob_emit(p, mi.data(), mv.data(), ei.data(),
                                    ev.data(), mvh.data(), mvv.data(),
-                                   nbcls.data(), misc.data(), 0);
+                                   nbcls.data(), misc.data(), 0, io);
                 items++;
             }
         }

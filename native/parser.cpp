@@ -13,6 +13,8 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <new>
 #include <vector>
@@ -272,6 +274,20 @@ static const bool DCT_FAST_INIT = [] {
             DCT_FAST12_SUB[i] = 0;
         }
     }
+    // Init-time proof for the COMB16 fallback's 0x0001/n>0 EOB re-check
+    // (decode_block): every EOB-ambiguous '1'-family code must resolve
+    // inside the 12-bit tables, so the fallback never sees value
+    // 0x0001 and its re-check stays dead insurance.  If a future table
+    // regeneration breaks that gating, fail loudly at load instead of
+    // silently changing stream semantics.
+    for (int i = 0; i < 65536; i++) {
+        if (DCT_COEFF_LEN[i] != 0 && DCT_COEFF_VAL[i] == 0x0001 &&
+            (DCT_FAST12[i >> 4] == 0 || DCT_FAST12_SUB[i >> 4] == 0)) {
+            std::fprintf(stderr, "mpeg_tpu: DCT table init violates the "
+                                 "FAST12 0x0001 gating invariant\n");
+            std::abort();
+        }
+    }
     return true;
 }();
 
@@ -482,9 +498,18 @@ struct VideoParser {
     std::vector<RecSeg> rec_segs;       // per coded-block record segments
     std::vector<int32_t> seg_of;        // bid -> its live segment index
     PodVec<uint32_t> rec_midx;          // idx = bid * 64 + pos (pic-rel)
-    PodVec<int16_t> rec_mval;
+    PodVec<int8_t> rec_mval;            // quotient (blob ABI: int8 lane)
     PodVec<uint32_t> rec_eidx;
     PodVec<int32_t> rec_eval;
+    // Emit ships uint16 index DELTAS; when every within-picture gap
+    // fits 16 bits (tracked eagerly at append: one compare per record)
+    // the conversion is a single vectorizable adjacent-difference loop
+    // with no hop records except at the picture boundary.  Any
+    // out-of-order append (rewrites, corrupt streams) trips the flag
+    // via unsigned underflow and emit falls to the exact scalar path.
+    bool mgaps_small = true;
+    bool midx_any = false;
+    uint32_t last_midx = 0;
 
     // Restore block_data[j] == block_quot[j] * PREMULTIPLIER[j] for the
     // occupied scratch slots.  Pool mode skips the premultiplied stores
@@ -537,9 +562,14 @@ struct VideoParser {
             int j = __builtin_ctzll(occ);
             int32_t q = block_quot[j];
             if (q == 0) continue;   // e.g. a zero intra DC
-            if (__builtin_expect(q >= -32768 && q <= 32767, 1)) {
-                rec_midx.push(base + (uint32_t)j);
-                rec_mval.push((int16_t)q);
+            if (__builtin_expect(q >= -128 && q <= 127, 1)) {
+                uint32_t idx = base + (uint32_t)j;
+                if (midx_any && idx - last_midx > 0xFFFFu)
+                    mgaps_small = false;
+                last_midx = idx;
+                midx_any = true;
+                rec_midx.push(idx);
+                rec_mval.push((int8_t)q);
             } else {
                 // escape carries the full coefficient (level * premult),
                 // derived from the quotient (pool mode does not keep the
@@ -660,6 +690,9 @@ struct VideoParser {
         pool_main = pool_esc = 0;
         pool_base = 0;
         dead_segs = 0;
+        mgaps_small = true;
+        midx_any = false;
+        last_midx = 0;
         plan_pending = false;
         last_ptype = 0;
         generation++;   // stale stamps (dirty/coded) become invalid
@@ -1959,6 +1992,9 @@ void vp_rewind(void* p) {
     v->pool_esc = 0;
     v->pool_base = 0;
     v->dead_segs = 0;
+    v->mgaps_small = true;
+    v->midx_any = false;
+    v->last_midx = 0;
     v->plan_pending = false;
     v->generation++;
 }
@@ -2010,45 +2046,82 @@ void vp_blob_counts(void* p, int64_t* out) {
     out[1] = v->pool_esc;
 }
 
-// Emit the prepared picture.  main/esc arrays are sized by the caller
-// from vp_blob_counts, and records leave in ascending flat-index order
-// (the device scatter ABI declares indices_are_sorted).  Callers that
-// pad slack themselves must keep the streams nondecreasing: value-0
-// records at the LAST dense index (or a repeat of the last real
-// index), NEVER index 0 after real records.  mvh/mvv/nbcls/misc point
-// at this picture's metadata slot in the window blob; idx_base is
-// picture_index * mb_size * 6 * 64.  Returns the flags word
-// (bit0 = is_ref, bit1 = valid).
-int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
-                 uint32_t* esc_idx, int32_t* esc_val,
+// Emit the prepared picture as delta-encoded records.  main/esc arrays
+// are sized by the caller from vp_blob_counts PLUS a hop bound of
+// (pic_span >> 16) + 2; records leave as uint16 deltas continuing the
+// chains at io[0]/io[1] (the device cumsum-decodes nondecreasing
+// absolute indices — scatter ABI: indices_are_sorted).  Gaps over
+// 0xFFFF emit value-0 HOP records of delta 0xFFFF.  mvh/mvv/nbcls/misc
+// point at this picture's metadata slot in the window blob; idx_base is
+// picture_index * mb_size * 6 * 64.  io = {prev_m, prev_e (in/out),
+// nm_out, ne_out}.  Returns the flags word (bit0 = is_ref, bit1 =
+// valid).
+int vp_blob_emit(void* p, uint16_t* main_didx, int8_t* main_val,
+                 uint16_t* esc_didx, int32_t* esc_val,
                  int16_t* mvh, int16_t* mvv, uint16_t* nbcls, uint8_t* misc,
-                 int64_t idx_base) {
+                 int64_t idx_base, int64_t* io) {
     auto* v = (VideoParser*)p;
     int64_t nm = 0, ne = 0;
+    uint32_t prev_m = (uint32_t)io[0], prev_e = (uint32_t)io[1];
     // Records were appended with pool_base already added; emit at a
     // different base adds the delta (pending-picture re-emit, direct
     // blob_emit callers that never set pool_base).
     uint32_t delta = (uint32_t)(idx_base - v->pool_base);
+    auto emit_m = [&](uint32_t idx, int8_t val) {
+        uint32_t d = idx - prev_m;
+        while (d > 0xFFFFu) {
+            main_didx[nm] = 0xFFFF;
+            main_val[nm] = 0;
+            nm++;
+            d -= 0xFFFFu;
+        }
+        main_didx[nm] = (uint16_t)d;
+        main_val[nm] = val;
+        nm++;
+        prev_m = idx;
+    };
+    auto emit_e = [&](uint32_t idx, int32_t val) {
+        uint32_t d = idx - prev_e;
+        while (d > 0xFFFFu) {
+            esc_didx[ne] = 0xFFFF;
+            esc_val[ne] = 0;
+            ne++;
+            d -= 0xFFFFu;
+        }
+        esc_didx[ne] = (uint16_t)d;
+        esc_val[ne] = val;
+        ne++;
+        prev_e = idx;
+    };
     if (v->blocks_monotone && v->dead_segs == 0) {
         // Well-formed stream: every segment is live, appended in
         // ascending bid order — the pools ARE the emit stream.
-        nm = (int64_t)v->rec_midx.size();
-        ne = (int64_t)v->rec_eidx.size();
-        if (delta == 0) {
-            std::memcpy(main_idx, v->rec_midx.data(), nm * sizeof(uint32_t));
-            std::memcpy(esc_idx, v->rec_eidx.data(), ne * sizeof(uint32_t));
+        int64_t n = (int64_t)v->rec_midx.size();
+        const uint32_t* mi = v->rec_midx.data();
+        const int8_t* mv = v->rec_mval.data();
+        if (v->mgaps_small && n > 0) {
+            // Every within-picture gap fits uint16: one boundary record
+            // (hops as needed), then a vectorizable adjacent-difference
+            // loop and a value memcpy.
+            emit_m(mi[0] + delta, mv[0]);
+            uint16_t* dd = main_didx + nm - 1;
+            for (int64_t k = 1; k < n; k++)
+                dd[k] = (uint16_t)(mi[k] - mi[k - 1]);
+            if (n > 1)
+                std::memcpy(main_val + nm, mv + 1, (size_t)(n - 1));
+            nm += n - 1;
+            prev_m = mi[n - 1] + delta;
         } else {
-            const uint32_t* mi = v->rec_midx.data();
-            for (int64_t k = 0; k < nm; k++) main_idx[k] = mi[k] + delta;
-            const uint32_t* ei = v->rec_eidx.data();
-            for (int64_t k = 0; k < ne; k++) esc_idx[k] = ei[k] + delta;
+            for (int64_t k = 0; k < n; k++) emit_m(mi[k] + delta, mv[k]);
         }
-        std::memcpy(main_val, v->rec_mval.data(), nm * sizeof(int16_t));
-        std::memcpy(esc_val, v->rec_eval.data(), ne * sizeof(int32_t));
+        int64_t e = (int64_t)v->rec_eidx.size();
+        const uint32_t* ei = v->rec_eidx.data();
+        const int32_t* ev = v->rec_eval.data();
+        for (int64_t k = 0; k < e; k++) emit_e(ei[k] + delta, ev[k]);
     } else {
         // Corrupt-stream path: emit live segments in ascending-bid order
-        // (device scatter ABI: indices_are_sorted; within a block
-        // note_coded_block already scans positions 0..63 in order).
+        // (within a block note_coded_block already scans positions 0..63
+        // in order, so per-record deltas stay nonnegative).
         if (!v->blocks_monotone)
             std::sort(v->coded_blocks.begin(), v->coded_blocks.end());
         for (int bid : v->coded_blocks) {
@@ -2056,31 +2129,17 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
             if (si < 0) continue;   // re-predicted/re-touched: latest only
             const auto& s = v->rec_segs[si];
             const uint32_t* mi = v->rec_midx.data() + s.m_start;
-            const int16_t* mv = v->rec_mval.data() + s.m_start;
-            for (int k = 0; k < s.m_len; k++) {
-                main_idx[nm + k] = mi[k] + delta;
-                main_val[nm + k] = mv[k];
-            }
-            nm += s.m_len;
+            const int8_t* mv = v->rec_mval.data() + s.m_start;
+            for (int k = 0; k < s.m_len; k++) emit_m(mi[k] + delta, mv[k]);
             const uint32_t* ei = v->rec_eidx.data() + s.e_start;
             const int32_t* ev = v->rec_eval.data() + s.e_start;
-            for (int k = 0; k < s.e_len; k++) {
-                esc_idx[ne + k] = ei[k] + delta;
-                esc_val[ne + k] = ev[k];
-            }
-            ne += s.e_len;
+            for (int k = 0; k < s.e_len; k++) emit_e(ei[k] + delta, ev[k]);
         }
     }
-    // Defensive pads (pool counts are exact, so these never run): value
-    // 0 at the last written index keeps the sorted-stream invariant.
-    for (; nm < v->pool_main; nm++) {
-        main_idx[nm] = nm > 0 ? main_idx[nm - 1] : (uint32_t)idx_base;
-        main_val[nm] = 0;
-    }
-    for (; ne < v->pool_esc; ne++) {
-        esc_idx[ne] = ne > 0 ? esc_idx[ne - 1] : (uint32_t)idx_base;
-        esc_val[ne] = 0;
-    }
+    io[0] = prev_m;
+    io[1] = prev_e;
+    io[2] = nm;
+    io[3] = ne;
 
     for (int mb : v->dirty_mbs) {
         // Metadata was packed eagerly at code/predict time.  (The dense
@@ -2109,6 +2168,9 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
     v->pool_main = 0;
     v->pool_esc = 0;
     v->dead_segs = 0;
+    v->mgaps_small = true;
+    v->midx_any = false;
+    v->last_midx = 0;
     v->generation++;
     v->plan_pending = false;
     return (is_ref ? 1 : 0) | 2;
@@ -2128,62 +2190,79 @@ int vp_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
 // recycled buffers — the zeroing runs here, off the GIL, instead of as
 // np.zeros on the Python dispatch thread.
 // hw_nm / hw_ne: the caller's promise that [hw_nm, km) of the main pool
-// and [hw_ne, ke) of the escape pool ALREADY hold the pad pattern for
-// this exact layout (dense_last records with value 0) — true for a
-// buffer this function previously filled with the same (max_pics, mb,
+// and [hw_ne, ke) of the escape pool ALREADY hold the pad pattern
+// (all-zero records: delta 0, value 0 — layout-independent) — true for
+// a buffer this function previously filled with the same (max_pics, mb,
 // km, ke).  The tail fill then covers only [nm, hw) instead of [nm, km)
 // — the full fill is O(pool capacity) per window, not O(live records),
 // and dominates the film-content tail where records are sparse.  Pass
 // hw = km/ke for a fresh or unknown buffer.
+//
+// prev_m0 / prev_e0: the delta chains' absolute tails at entry (0 for a
+// fresh window; thread out[3]/out[4] back in on growth re-calls).
 static int64_t blob_window_impl(
         VideoParser* v, int (*prepare)(void*), void* prepare_arg,
         int64_t start_pic, int64_t max_pics, int64_t km, int64_t ke,
         int64_t nm0, int64_t ne0, int64_t hw_nm, int64_t hw_ne,
-        uint32_t* main_idx, int16_t* main_val,
-        uint32_t* esc_idx, int32_t* esc_val,
+        int64_t prev_m0, int64_t prev_e0,
+        uint16_t* main_didx, int8_t* main_val,
+        uint16_t* esc_didx, int32_t* esc_val,
         int16_t* mvh, int16_t* mvv, uint16_t* nbcls, uint8_t* misc,
         int32_t* flags, int32_t* types, int64_t mb, int64_t* out) {
     int64_t nm = nm0, ne = ne0, w = start_pic;
+    int64_t prev_m = prev_m0, prev_e = prev_e0;
+    const int64_t pic_span = mb * 6 * 64;
     out[2] = 0;
     while (w < max_pics) {
         // Pre-add this picture's idx_base to the records as they are
-        // appended (emit then memcpys).  A pending picture keeps the
-        // base it was prepared with; emit adds the delta if it differs.
-        if (!v->plan_pending) v->pool_base = w * mb * 6 * 64;
+        // appended (emit then converts in one pass).  A pending picture
+        // keeps the base it was prepared with; emit adds the delta if
+        // it differs.
+        if (!v->plan_pending) v->pool_base = w * pic_span;
         int t = prepare(prepare_arg);
         if (t == 0) break;
-        if (nm + v->pool_main > km || ne + v->pool_esc > ke) {
+        // Capacity check with a conservative hop bound: this picture's
+        // total index gap is at most (base + pic_span) - prev, and one
+        // hop covers 0xFFFF of gap (+2 absorbs the 0xFFFF-vs-0x10000
+        // rounding).  The Python growth path adds a whole-window slack
+        // that dominates this bound, so one growth always suffices.
+        int64_t base = w * pic_span;
+        int64_t bm = v->pool_main +
+            (v->pool_main ? ((base + pic_span - prev_m) >> 16) + 2 : 0);
+        int64_t be = v->pool_esc +
+            (v->pool_esc ? ((base + pic_span - prev_e) >> 16) + 2 : 0);
+        if (nm + bm > km || ne + be > ke) {
             out[2] = t;
             break;
         }
-        int64_t cm = v->pool_main, ce = v->pool_esc;
         // vp_blob_emit writes only dirty MBs: clear this picture's
         // metadata slot first so non-dirty MBs read as zeros.
         std::memset(mvh + w * mb, 0, mb * sizeof(int16_t));
         std::memset(mvv + w * mb, 0, mb * sizeof(int16_t));
         std::memset(nbcls + w * mb, 0, mb * sizeof(uint16_t));
         std::memset(misc + w * mb, 0, mb * sizeof(uint8_t));
+        int64_t io[4] = {prev_m, prev_e, 0, 0};
         flags[w] = vp_blob_emit(
-            v, main_idx + nm, main_val + nm, esc_idx + ne, esc_val + ne,
+            v, main_didx + nm, main_val + nm, esc_didx + ne, esc_val + ne,
             mvh + w * mb, mvv + w * mb, nbcls + w * mb, misc + w * mb,
-            w * mb * 6 * 64);
+            base, io);
         types[w] = t;
-        nm += cm;
-        ne += ce;
+        prev_m = io[0];
+        prev_e = io[1];
+        nm += io[2];
+        ne += io[3];
         w++;
     }
     // Overwrite everything after what this call wrote: record-pool
-    // tails (stale indices/values from a recycled buffer would not be
+    // tails (stale deltas/values from a recycled buffer would not be
     // no-ops) and the unemitted picture slots (flags bit1 = 0 ->
-    // is_noop).  Pad records carry value 0 at the LAST dense index so
-    // the whole pool stays ascending (device scatter ABI:
-    // indices_are_sorted; a value-0 add is a no-op wherever it lands).
-    uint32_t dense_last = (uint32_t)(max_pics * mb * 6 * 64 - 1);
+    // is_noop).  Pad records are zeros: delta 0 keeps the decoded
+    // chain at its final index, value 0 makes the add a no-op.
     int64_t fm = hw_nm < nm ? nm : (hw_nm > km ? km : hw_nm);
     int64_t fe = hw_ne < ne ? ne : (hw_ne > ke ? ke : hw_ne);
-    std::fill(main_idx + nm, main_idx + fm, dense_last);
-    std::memset(main_val + nm, 0, (fm - nm) * sizeof(int16_t));
-    std::fill(esc_idx + ne, esc_idx + fe, dense_last);
+    std::memset(main_didx + nm, 0, (fm - nm) * sizeof(uint16_t));
+    std::memset(main_val + nm, 0, (size_t)(fm - nm));
+    std::memset(esc_didx + ne, 0, (fe - ne) * sizeof(uint16_t));
     std::memset(esc_val + ne, 0, (fe - ne) * sizeof(int32_t));
     if (w < max_pics) {
         std::memset(flags + w, 0, (max_pics - w) * sizeof(int32_t));
@@ -2196,21 +2275,24 @@ static int64_t blob_window_impl(
     }
     out[0] = nm;
     out[1] = ne;
+    out[3] = prev_m;
+    out[4] = prev_e;
     return w - start_pic;
 }
 
 int64_t vp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
                        int64_t km, int64_t ke, int64_t nm0, int64_t ne0,
                        int64_t hw_nm, int64_t hw_ne,
-                       uint32_t* main_idx, int16_t* main_val,
-                       uint32_t* esc_idx, int32_t* esc_val,
+                       int64_t prev_m0, int64_t prev_e0,
+                       uint16_t* main_didx, int8_t* main_val,
+                       uint16_t* esc_didx, int32_t* esc_val,
                        int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
                        uint8_t* misc, int32_t* flags, int32_t* types,
                        int64_t mb, int64_t* out) {
     return blob_window_impl((VideoParser*)p, vp_parse_blob_prepare, p,
                             start_pic, max_pics, km, ke, nm0, ne0,
-                            hw_nm, hw_ne,
-                            main_idx, main_val, esc_idx, esc_val,
+                            hw_nm, hw_ne, prev_m0, prev_e0,
+                            main_didx, main_val, esc_didx, esc_val,
                             mvh, mvv, nbcls, misc, flags, types, mb, out);
 }
 
@@ -2436,27 +2518,29 @@ void pp_video_blob_counts(void* p, int64_t* out) {
     vp_blob_counts(&((Pipeline*)p)->vp, out);
 }
 
-int pp_video_blob_emit(void* p, uint32_t* main_idx, int16_t* main_val,
-                       uint32_t* esc_idx, int32_t* esc_val,
+int pp_video_blob_emit(void* p, uint16_t* main_didx, int8_t* main_val,
+                       uint16_t* esc_didx, int32_t* esc_val,
                        int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
-                       uint8_t* misc, int64_t idx_base) {
-    return vp_blob_emit(&((Pipeline*)p)->vp, main_idx, main_val,
-                        esc_idx, esc_val, mvh, mvv, nbcls, misc, idx_base);
+                       uint8_t* misc, int64_t idx_base, int64_t* io) {
+    return vp_blob_emit(&((Pipeline*)p)->vp, main_didx, main_val,
+                        esc_didx, esc_val, mvh, mvv, nbcls, misc,
+                        idx_base, io);
 }
 
 int64_t pp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
                        int64_t km, int64_t ke, int64_t nm0, int64_t ne0,
                        int64_t hw_nm, int64_t hw_ne,
-                       uint32_t* main_idx, int16_t* main_val,
-                       uint32_t* esc_idx, int32_t* esc_val,
+                       int64_t prev_m0, int64_t prev_e0,
+                       uint16_t* main_didx, int8_t* main_val,
+                       uint16_t* esc_didx, int32_t* esc_val,
                        int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
                        uint8_t* misc, int32_t* flags, int32_t* types,
                        int64_t mb, int64_t* out) {
     auto* pp = (Pipeline*)p;
     return blob_window_impl(&pp->vp, pp_video_blob_prepare, p,
                             start_pic, max_pics, km, ke, nm0, ne0,
-                            hw_nm, hw_ne,
-                            main_idx, main_val, esc_idx, esc_val,
+                            hw_nm, hw_ne, prev_m0, prev_e0,
+                            main_didx, main_val, esc_didx, esc_val,
                             mvh, mvv, nbcls, misc, flags, types, mb, out);
 }
 

@@ -287,16 +287,19 @@ def test_parse_thread_pool_parity(mpeg1video_path):
         cm, ce = probe.blob_counts()
         win_m += cm
         win_e += ce
-        probe.blob_emit(np.empty(max(cm, 1), np.uint32),
-                        np.empty(max(cm, 1), np.int16),
-                        np.empty(max(ce, 1), np.uint32),
-                        np.empty(max(ce, 1), np.int32), *meta, 0)
+        hb = (mb * 6 * 64 >> 16) + 2   # single-picture hop bound
+        probe.blob_emit(np.empty(cm + hb, np.uint16),
+                        np.empty(cm + hb, np.int8),
+                        np.empty(ce + hb, np.uint16),
+                        np.empty(ce + hb, np.int32), *meta, 0)
         pics += 1
         if pics % window == 0:
             max_m, max_e = max(max_m, win_m), max(max_e, win_e)
             win_m = win_e = 0
     max_m, max_e = max(max_m, win_m), max(max_e, win_e)
-    km, ke = pool_bucket(max_m, 4096), pool_bucket(max(max_e, 1), 64)
+    slack = (window * mb * 6 * 64 >> 16) + window + 2   # hop records
+    km = pool_bucket(max_m + slack, 4096)
+    ke = pool_bucket(max(max_e + slack, 1), 64)
     _, total = blob_layout(geom, window, km, ke)
 
     def parse_stream(blob_2d, s, parser):
@@ -304,9 +307,9 @@ def test_parse_thread_pool_parity(mpeg1video_path):
         for w in range(blob_2d.shape[1]):
             v = blob_views(blob_2d[s, w], geom, window, km, ke)
             types = np.empty(window, np.int32)
-            n, nm, ne, pending = parser.blob_window(
+            n, nm, ne, pending, _pm, _pe = parser.blob_window(
                 0, window, km, ke, 0, 0,
-                v["main_idx"], v["main_val"], v["esc_idx"], v["esc_val"],
+                v["main_didx"], v["main_val"], v["esc_didx"], v["esc_val"],
                 v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
                 v["flags"], types)
             assert pending == 0

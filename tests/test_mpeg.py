@@ -144,6 +144,72 @@ def test_mpeg_jax_backend_smoke(mpg_path):
     assert s is not None and s.interleaved.size == 2304
 
 
+@pytest.fixture(scope="session")
+def es_1080_path(tmp_path_factory):
+    """A short synthetic 1080p MPEG-1 ES (libavcodec PIM1 via cv2)."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+    path = tmp_path_factory.mktemp("es1080") / "t1080.m1v"
+    avi = str(path) + ".avi"
+    w, h = 1920, 1088
+    vw = cv2.VideoWriter(avi, cv2.VideoWriter_fourcc(*"PIM1"), 30, (w, h))
+    rng = np.random.default_rng(3)
+    base = rng.integers(30, 220, (h // 128, w // 128, 3), np.uint8)
+    base = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+    for i in range(5):
+        m = np.float32([[1, 0, 3 * i], [0, 1, 2 * i]])
+        vw.write(cv2.warpAffine(base, m, (w, h),
+                                borderMode=cv2.BORDER_WRAP))
+    vw.release()
+    raw = open(avi, "rb").read()
+    start = raw.find(b"\x00\x00\x01\xB3")
+    end = raw.rfind(b"\x00\x00\x01\xB7")
+    assert start >= 0
+    es = raw[start:end + 4 if end > start else len(raw)]
+    path.write_bytes(es)
+    return path
+
+
+def test_video_jax_backend_1080p_blob_transport(es_1080_path):
+    """The interactive jax path at 1080p geometry: frames bit-match the
+    numpy oracle, and the per-picture host->device payload is the
+    pool-record blob (a small fraction of the dense coefficient
+    tensor), so the reference-shaped API is also the fast path at large
+    frames — parity with the reference, where DecodeVideo runs the same
+    asm kernels as everything else (mpeg.go:416-433)."""
+    import io
+
+    import numpy as np
+
+    from mpeg_tpu.buffer import Buffer
+    from mpeg_tpu.video import Video
+
+    data = open(es_1080_path, "rb").read()
+
+    def frames(backend):
+        buf = Buffer(io.BytesIO(data))
+        buf.set_load_callback(buf.load_reader_callback)
+        v = Video(buf, backend=backend, parser="python")
+        out = []
+        while (f := v.decode()) is not None:
+            out.append(np.asarray(f.flat).copy())
+        return out, v
+
+    got, vj = frames("jax")
+    want, _ = frames("numpy")
+    assert vj.geom.width == 1920 and len(got) == len(want) >= 4
+    for i, (a, b) in enumerate(zip(got, want)):
+        assert (a == b).all(), f"frame {i}"
+
+    # Transport: the sticky per-picture blob is a small fraction of the
+    # dense tensor the pre-blob interactive path shipped (mb*6*64 int32
+    # = 12.0 MB at this geometry).
+    from mpeg_tpu.parallel.batch import blob_layout
+    _, blob_bytes = blob_layout(vj.geom, 1, vj._blob_km, vj._blob_ke)
+    dense_bytes = vj.geom.mb_size * 6 * 64 * 4
+    assert blob_bytes < dense_bytes / 10, (blob_bytes, dense_bytes)
+
+
 class _NoSeekReader:
     """Non-seekable (single-pass) reader wrapper — exercises the
     TeeFeeder pipeline engine for pipe/socket-style sources."""

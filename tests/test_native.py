@@ -253,10 +253,11 @@ def test_native_reset_matches_fresh_parser(mpeg1video_path):
         geom = p.geom()
         mb = geom.mb_size
         cm, ce = p.blob_counts()
-        p.blob_emit(np.empty(max(cm, 1), np.uint32),
-                    np.empty(max(cm, 1), np.int16),
-                    np.empty(max(ce, 1), np.uint32),
-                    np.empty(max(ce, 1), np.int32),
+        hb = (mb * 6 * 64 >> 16) + 2
+        p.blob_emit(np.empty(cm + hb, np.uint16),
+                    np.empty(cm + hb, np.int8),
+                    np.empty(ce + hb, np.uint16),
+                    np.empty(ce + hb, np.int32),
                     np.zeros(mb, np.int16), np.zeros(mb, np.int16),
                     np.zeros(mb, np.uint16), np.zeros(mb, np.uint8), 0)
     p.reset(data)
@@ -280,10 +281,11 @@ def test_native_reset_matches_fresh_parser(mpeg1video_path):
         counts.append(probe.blob_counts())
         mb = geom.mb_size
         cm, ce = counts[-1]
-        probe.blob_emit(np.empty(max(cm, 1), np.uint32),
-                        np.empty(max(cm, 1), np.int16),
-                        np.empty(max(ce, 1), np.uint32),
-                        np.empty(max(ce, 1), np.int32),
+        hb = (mb * 6 * 64 >> 16) + 2
+        probe.blob_emit(np.empty(cm + hb, np.uint16),
+                        np.empty(cm + hb, np.int8),
+                        np.empty(ce + hb, np.uint16),
+                        np.empty(ce + hb, np.int32),
                         np.zeros(mb, np.int16), np.zeros(mb, np.int16),
                         np.zeros(mb, np.uint16), np.zeros(mb, np.uint8), 0)
     km = pool_bucket(sum(c[0] for c in counts), 4096)
@@ -296,9 +298,9 @@ def test_native_reset_matches_fresh_parser(mpeg1video_path):
         v = blob_views(blob, geom, window, km, ke)
         types = np.full(window, -1, np.int32)
         p2 = native.NativeVideoParser(data)
-        n, nm, ne, pending = p2.blob_window(
+        n, nm, ne, pending, _pm, _pe = p2.blob_window(
             0, window, km, ke, 0, 0,
-            v["main_idx"], v["main_val"], v["esc_idx"], v["esc_val"],
+            v["main_didx"], v["main_val"], v["esc_didx"], v["esc_val"],
             v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
             v["flags"], types)
         assert n == window and pending == 0
@@ -308,11 +310,14 @@ def test_native_reset_matches_fresh_parser(mpeg1video_path):
 
 
 def test_native_blob_records_sorted(mpeg1video_path):
-    """Scatter ABI invariant: every window's main and escape pools leave
-    the native emitter in ascending flat-index order, pads included
-    (densify_blob_jax declares indices_are_sorted on both scatters).
-    The fixture's damaged regions exercise the junk-tolerance paths, so
-    this also covers re-touched blocks and re-predicted MBs."""
+    """Scatter/delta ABI invariants: every window's cumsum-decoded main
+    and escape chains stay inside the window's dense span (the scatters
+    declare indices_are_sorted, which unsigned deltas make structural),
+    value-0 main records appear only as hops (didx 0xFFFF) or pads
+    (didx 0), and the native emitter produces BYTE-IDENTICAL blobs to
+    the Python packer on the same pictures.  The fixture's damaged
+    regions exercise the junk-tolerance paths, so this also covers
+    re-touched blocks and re-predicted MBs."""
     from mpeg_tpu.parallel.batch import (
         blob_layout, blob_views, pack_plans_blob, pool_bucket,
     )
@@ -322,47 +327,54 @@ def test_native_blob_records_sorted(mpeg1video_path):
     p = native.NativeVideoParser(data)
     geom = p.geom()
     mb = geom.mb_size
-    km, ke = pool_bucket(mb * 6 * 64 * window // 8, 4096), pool_bucket(512, 64)
+    km = pool_bucket(mb * 6 * 64 * window // 8, 4096)
+    ke = pool_bucket(mb * 6 * 64 * window // 128, 512)
     _, total = blob_layout(geom, window, km, ke)
+    span = window * mb * 6 * 64
 
     # Native windows: recycled (garbage-filled) buffer, whole stream.
     blob = np.full(total, 0x5A, np.uint8)
     v = blob_views(blob, geom, window, km, ke)
     types = np.empty(window, np.int32)
-    plans = []   # mirror with the python packer below
     oracle = native.NativeVideoParser(data)
     windows = 0
+    first_native = None
     while True:
-        n, nm, ne, pending = p.blob_window(
+        n, nm, ne, pending, _pm, _pe = p.blob_window(
             0, window, km, ke, 0, 0,
-            v["main_idx"], v["main_val"], v["esc_idx"], v["esc_val"],
+            v["main_didx"], v["main_val"], v["esc_didx"], v["esc_val"],
             v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
             v["flags"], types)
         assert pending == 0
         if n == 0:
             break
         windows += 1
-        for name in ("main_idx", "esc_idx"):
-            idx = v[name].astype(np.int64)
-            assert (np.diff(idx) >= 0).all(), \
-                f"{name} not ascending in window {windows}"
-            assert idx[-1] == window * mb * 6 * 64 - 1 or \
-                (name == "main_idx" and nm == km) or \
-                (name == "esc_idx" and ne == ke), \
-                f"{name} pad must sit at the last dense index"
+        if first_native is None:
+            first_native = blob.copy()
+        for dname, vname in (("main_didx", "main_val"),
+                             ("esc_didx", "esc_val")):
+            idx = np.cumsum(v[dname].astype(np.int64))
+            assert idx[-1] < span, \
+                f"{dname} chain leaves the dense span in window {windows}"
+            zero = v[vname].astype(np.int64) == 0
+            d = v[dname].astype(np.int64)
+            assert ((~zero) | (d == 0xFFFF) | (d == 0)).all(), \
+                f"{dname}: value-0 record that is neither hop nor pad"
         if n < window:
             break
     assert windows >= 2   # the fixture spans multiple windows
 
-    # Python packer obeys the same invariant.
+    # Python packer: same invariant AND byte-for-byte emit parity with
+    # the native window above (one encoding, two implementations).
+    plans = []
     while (item := oracle.parse_next_plan()) is not None:
         plans.append(item)
     pb = pack_plans_blob(plans[:window], geom, window, km, ke)
     pv = blob_views(pb, geom, window, km, ke)
-    for name in ("main_idx", "esc_idx"):
-        idx = pv[name].astype(np.int64)
-        assert (np.diff(idx) >= 0).all()
-        assert idx[-1] == window * mb * 6 * 64 - 1
+    for name in ("main_didx", "esc_didx"):
+        idx = np.cumsum(pv[name].astype(np.int64))
+        assert idx[-1] < span
+    np.testing.assert_array_equal(pb, first_native)
 
 
 @pytest.mark.parametrize("i", range(0, 12, 2))

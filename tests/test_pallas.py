@@ -115,3 +115,29 @@ def test_fused_reconstruct_pallas_golden(mpeg1video_path):
         return np.asarray(disps)
 
     np.testing.assert_array_equal(run("pallas"), run("xla"))
+
+
+def test_recon_probe_and_pick(mpeg1video_path):
+    """MPEG_TPU_RECON=probe: the measured per-process probe returns a
+    coherent verdict and _resolve_recon honors it (VERDICT r4 weak #4 —
+    the auto default stops being a hardcoded constant wherever startup
+    cost is acceptable)."""
+    import os
+
+    from mpeg_tpu import native
+    from mpeg_tpu.parallel.batch import _resolve_recon, probe_recon
+    from mpeg_tpu.ops.video_recon import FrameGeometry
+
+    geom = FrameGeometry.for_size(160, 120)
+    out = probe_recon(geom, min_s=0.05)
+    assert out["pick"] in ("xla", "pallas")
+    assert out is probe_recon(geom)   # cached per process
+    old = os.environ.get("MPEG_TPU_RECON")
+    try:
+        os.environ["MPEG_TPU_RECON"] = "probe"
+        assert _resolve_recon("auto", geom) == out["pick"]
+    finally:
+        if old is None:
+            os.environ.pop("MPEG_TPU_RECON", None)
+        else:
+            os.environ["MPEG_TPU_RECON"] = old
