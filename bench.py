@@ -239,8 +239,7 @@ def discover_buckets(data: bytes, window: int):
         win_main += cm
         win_esc += ce
         hb = (mb * 6 * 64 >> 16) + 2
-        st.p.blob_emit(np.empty(cm + hb, np.uint16),
-                       np.empty(cm + hb, np.int8),
+        st.p.blob_emit(np.empty(2 * (cm + hb), np.uint16),
                        np.empty(ce + hb, np.uint16),
                        np.empty(ce + hb, np.int32), *meta, 0)
         pics += 1
@@ -270,18 +269,24 @@ class BlobRing:
 
     def __init__(self, geom, window: int, km: int, ke: int,
                  n_streams: int, depth: int = 4):
-        from mpeg_tpu.parallel.batch import blob_layout, blob_views
+        from mpeg_tpu.parallel.batch import blob_split, split_views
 
-        _, total = blob_layout(geom, window, km, ke)
-        self.total = total
+        split = blob_split(geom, window, km, ke)
+        self.split = split
+        self.total = split + 4 * km
         self._free = queue.Queue()
         for _ in range(depth):
-            blob = np.empty((n_streams, total), np.uint8)
+            # Split storage (prefix-transfer transport): the fixed
+            # meta+escape part and the main record lane live in separate
+            # stacks so the dispatch can ship a bucketed prefix of the
+            # fill without a host-side repack.
+            meta = np.empty((n_streams, split), np.uint8)
+            mainb = np.empty((n_streams, 4 * km), np.uint8)
             types = np.empty((n_streams, window), np.int32)
             views = []
             for s in range(n_streams):
-                v = blob_views(blob[s], geom, window, km, ke)
-                views.append((v["main_didx"], v["main_val"], v["esc_didx"],
+                v = split_views(meta[s], mainb[s], geom, window, km, ke)
+                views.append((v["main_rec"], v["esc_didx"],
                               v["esc_val"], v["mv_h"], v["mv_v"],
                               v["nbcls"], v["mbmisc"], v["flags"],
                               types[s]))
@@ -290,7 +295,7 @@ class BlobRing:
             # the native tail pad covers only [fill, hwm) (~+4% parse on
             # the bench fixture; see NativeVideoParser.blob_window).
             hwm = [(km, ke)] * n_streams
-            self._free.put((blob, views, hwm))
+            self._free.put((meta, mainb, views, hwm))
 
     def acquire(self):
         return self._free.get()
@@ -301,10 +306,15 @@ class BlobRing:
 
 def make_window_filler(geom, window: int, km: int, ke: int,
                        n_streams: int = 1, depth: int = 4):
-    """Returns (fill, ring): fill(streams) -> (blob [S, total], slot)
-    parses one window per stream straight into a recycled ring slot's
-    field views; pass the slot back to ring.release() once the blob's
+    """Returns (fill, ring): fill(streams) -> ((meta [S, split],
+    mainb [S, 4*km], kt), slot) parses one window per stream straight
+    into a recycled ring slot's field views; kt is the round's main-
+    record transfer bucket (max fill over streams, power of two — the
+    dispatch ships mainb[:, :4*kt], the tail beyond each stream's fill
+    being zero pads).  Pass the slot back to ring.release() once the
     bytes have been consumed."""
+    from mpeg_tpu.parallel.batch import pool_bucket
+
     ring = BlobRing(geom, window, km, ke, n_streams, depth)
     pool = None
     if PARSE_THREADS > 1:
@@ -314,7 +324,7 @@ def make_window_filler(geom, window: int, km: int, ke: int,
     def fill(streams):
         assert len(streams) == n_streams
         slot = ring.acquire()
-        blob, views, hwm = slot
+        meta, mainb, views, hwm = slot
 
         def fill_stream(s, st):
             w_done = nm = ne = pm = pe = 0
@@ -329,13 +339,15 @@ def make_window_filler(geom, window: int, km: int, ke: int,
                 if w_done < window:
                     st.reloop()   # stream ended mid-window
             hwm[s] = (nm, ne)
+            return nm
 
         if pool is not None:
-            list(pool.map(lambda a: fill_stream(*a), enumerate(streams)))
+            fills = list(pool.map(lambda a: fill_stream(*a),
+                                  enumerate(streams)))
         else:
-            for s, st in enumerate(streams):
-                fill_stream(s, st)
-        return blob, slot
+            fills = [fill_stream(s, st) for s, st in enumerate(streams)]
+        kt = min(pool_bucket(max(max(fills), 1), 4096), km)
+        return (meta, mainb, kt), slot
 
     return fill, ring
 
@@ -358,7 +370,7 @@ def main():
 
     from mpeg_tpu import native
     from mpeg_tpu.parallel.batch import (
-        blob_layout, densify_blob_jax, make_scan_step, pool_bucket,
+        blob_layout, densify_split_jax, make_scan_step, pool_bucket,
         unpack_blob_meta,
     )
 
@@ -389,21 +401,22 @@ def main():
     # --- device: multi-stream windowed scan, donated carry ---
     # Two executables (densify scatter standalone, then the scatter-free
     # scan) — the split keeps TPU compile time sane; see
-    # parallel.batch.densify_blob_jax.
+    # parallel.batch.densify_split_jax.
     step = make_scan_step(geom)
 
     vdensify = jax.jit(jax.vmap(
-        lambda blob: densify_blob_jax(blob, geom, WINDOW, km, ke)))
+        lambda me, mn: densify_split_jax(me, mn, geom, WINDOW, ke)))
 
-    def scan_one(carry, blob, dense):
-        xs = unpack_blob_meta(blob, geom, WINDOW, km, ke)
+    def scan_one(carry, meta_esc, dense):
+        xs = unpack_blob_meta(meta_esc, geom, WINDOW, km, ke)
         xs["coeffs"] = dense.reshape(WINDOW, geom.mb_size, 6, 64)
         return jax.lax.scan(step, carry, xs)
 
     vscan_stage = jax.jit(jax.vmap(scan_one), donate_argnums=0)
 
-    def vscan(carry, blobs):
-        return vscan_stage(carry, blobs, vdensify(blobs))
+    def vscan(carry, dev):
+        metas, mains = dev
+        return vscan_stage(carry, metas, vdensify(metas, mains))
 
     def fresh_carry():
         return tuple(jnp.zeros((STREAMS, geom.total_size), jnp.uint8)
@@ -411,15 +424,22 @@ def main():
 
     streams = [Stream(data) for _ in range(STREAMS)]
     fill, ring = make_window_filler(geom, WINDOW, km, ke, STREAMS)
+    xfer_bytes = [0]   # h2d bytes actually shipped (prefix transfers)
 
-    def transfer(filled):
-        """h2d one filled blob; recycle its ring slot once the copy is
-        done (block_until_ready = transfer complete, not compute)."""
-        blob, slot = filled
-        dev = jax.device_put(blob)
-        dev.block_until_ready()
+    def transfer(filled, ring=ring):
+        """h2d one filled window — the fixed meta+esc stack plus the
+        bucketed prefix of the main record stack (the per-stream fill
+        tails are zero pads, so any bucket >= the max fill decodes
+        identically); recycle the ring slot once the copies are done
+        (block_until_ready = transfer complete, not compute)."""
+        (meta, mainb, kt), slot = filled
+        dev_meta = jax.device_put(meta)
+        dev_main = jax.device_put(
+            np.ascontiguousarray(mainb[:, :4 * kt]))
+        jax.block_until_ready((dev_meta, dev_main))
+        xfer_bytes[0] += meta.nbytes + mainb.shape[0] * 4 * kt
         ring.release(slot)
-        return dev
+        return dev_meta, dev_main
 
     t0 = time.time()
     carry = fresh_carry()
@@ -550,24 +570,33 @@ def main():
 
     # transfer+device only (parse excluded)
     pre, pre_slot = fill(streams)
+    meta_p, main_p, kt_p = pre
+    main_pc = np.ascontiguousarray(main_p[:, :4 * kt_p])
+    pre_nbytes = meta_p.nbytes + main_pc.nbytes
+
+    def put_pre():
+        dev = (jax.device_put(meta_p), jax.device_put(main_pc))
+        jax.block_until_ready(dev)
+        return dev
+
     carry = fresh_carry()
     t0 = time.time()
     for _ in range(ROUNDS):
-        carry, disps = vscan(carry, jax.device_put(pre))
+        carry, disps = vscan(carry, put_pre())
     jax.block_until_ready(disps)
     xfer_fps = frames / (time.time() - t0)
 
     # transfer only
     t0 = time.time()
     for _ in range(ROUNDS):
-        jax.block_until_ready(jax.device_put(pre))
+        put_pre()
     h2d_dt = time.time() - t0
     h2d_fps = frames / h2d_dt
-    h2d_mbs = pre.nbytes * ROUNDS / h2d_dt / 1e6
+    h2d_mbs = pre_nbytes * ROUNDS / h2d_dt / 1e6
     ring.release(pre_slot)
 
     # device only (blob resident)
-    cur = jax.device_put(pre)
+    cur = put_pre()
     carry = fresh_carry()
     carry, disps = vscan(carry, cur)
     jax.block_until_ready(disps)
@@ -777,8 +806,7 @@ def main():
         # tunnel compresses; 64 equal blobs would undersell h2d).
         mb64 = geom64.mb_size
         hb64 = (mb64 * 6 * 64 >> 16) + 2
-        scratch = (np.empty(km64 + hb64, np.uint16),
-                   np.empty(km64 + hb64, np.int8),
+        scratch = (np.empty(2 * (km64 + hb64), np.uint16),
                    np.empty(ke64 + hb64, np.uint16),
                    np.empty(ke64 + hb64, np.int32),
                    np.empty(mb64, np.int16), np.empty(mb64, np.int16),
@@ -797,15 +825,18 @@ def main():
         import functools
 
         @jax.jit
-        def vdensify64(blobs):
-            cb = blobs.reshape(CH, S64 // CH, -1)
-            return jax.lax.map(jax.vmap(
-                lambda b: densify_blob_jax(b, geom64, W64, km64, ke64)), cb)
+        @jax.jit
+        def vdensify64(metas, mains):
+            ms = metas.reshape(CH, S64 // CH, -1)
+            rs = mains.reshape(CH, S64 // CH, -1)
+            vd = jax.vmap(lambda me, mn: densify_split_jax(
+                me, mn, geom64, W64, ke64))
+            return jax.lax.map(lambda t: vd(t[0], t[1]), (ms, rs))
 
         @functools.partial(jax.jit, donate_argnums=0)
-        def vscan64_stage(carry, blobs, dense):
+        def vscan64_stage(carry, metas, dense):
             cs = tuple(c.reshape(CH, S64 // CH, -1) for c in carry)
-            bs = blobs.reshape(CH, S64 // CH, -1)
+            bs = metas.reshape(CH, S64 // CH, -1)
 
             def chunk(args):
                 c0, c1, c2, b, d = args
@@ -817,8 +848,9 @@ def main():
             return (tuple(d.reshape(S64, -1) for d in (d0, d1, d2)),
                     disps.reshape(S64, W64, -1))
 
-        def vscan64(carry, blobs):
-            return vscan64_stage(carry, blobs, vdensify64(blobs))
+        def vscan64(carry, dev):
+            metas, mains = dev
+            return vscan64_stage(carry, metas, vdensify64(metas, mains))
         carry64 = tuple(jnp.zeros((S64, geom64.total_size), jnp.uint8)
                         for _ in range(3))
         # Warm both ring slots first: 64 fresh parsers fault in ~25 MB
@@ -837,7 +869,10 @@ def main():
             blob64, slot64 = fill64(streams64)
             p64.append(time.time() - t0)
         parse64_dt = statistics.median(p64)
-        dev64 = jax.device_put(blob64)
+        meta64, main64, kt64 = blob64
+        main64c = np.ascontiguousarray(main64[:, :4 * kt64])
+        b64_nbytes = meta64.nbytes + main64c.nbytes
+        dev64 = (jax.device_put(meta64), jax.device_put(main64c))
         jax.block_until_ready(dev64)
         ring64.release(slot64)
         t0 = time.time()
@@ -853,8 +888,8 @@ def main():
         log(f"64-STREAM 1080p (window {W64}): device-resident "
             f"{f64 / dt:.0f} fps/chip ({f64 / dt / S64:.1f} fps/stream); "
             f"1-core parse feeds {S64 * W64 / parse64_dt:.0f} fps "
-            f"(median of 3 rounds; {blob64.nbytes / 1e6:.0f} MB/round "
-            f"h2d)")
+            f"(median of 3 rounds; {b64_nbytes / 1e6:.0f} MB/round "
+            f"h2d after the prefix cut)")
 
         # True overlapped e2e on the north-star config: parse thread ||
         # h2d+dispatch, exactly like the headline pipeline (VERDICT r3
@@ -870,28 +905,34 @@ def main():
         t0 = time.time()
         th.start()
         wait_s = h2d_s = 0.0
+        moved = 0
         for _ in range(E64):
             t = time.perf_counter()
-            blob, slot = q64.get()
+            (meta, mainb, kt), slot = q64.get()
             wait_s += time.perf_counter() - t
             t = time.perf_counter()
-            dev = jax.device_put(blob)
-            dev.block_until_ready()
+            mainc = np.ascontiguousarray(mainb[:, :4 * kt])
+            dev = (jax.device_put(meta), jax.device_put(mainc))
+            jax.block_until_ready(dev)
             h2d_s += time.perf_counter() - t
+            moved += meta.nbytes + mainc.nbytes
             ring64.release(slot)
             carry64, disps = vscan64(carry64, dev)
         jax.block_until_ready(disps)
         dt = time.time() - t0
         th.join()
-        # Attribution: this leg moves 58 MB/round — on the tunneled
-        # link it is h2d-bound, on real PCIe it is parse-bound; the
-        # split makes the driver artifact say which.
+        # Attribution: on the tunneled link this leg is h2d-bound, on
+        # real PCIe it is parse-bound; the split makes the driver
+        # artifact say which.  The prefix cut ships only the filled
+        # record buckets (~3x fewer bytes than the full window-2 layout
+        # on GOP content).
         log(f"64-STREAM e2e (parse || h2d+dispatch): "
             f"{S64 * W64 * E64} frames in {dt:.1f}s -> "
             f"{S64 * W64 * E64 / dt:.0f} fps/chip "
             f"({S64 * W64 * E64 / dt / S64:.1f} fps/stream); "
             f"parse-wait {wait_s:.1f}s | h2d {h2d_s:.1f}s "
-            f"({blob.nbytes * E64 / max(h2d_s, 1e-9) / 1e6:.0f} MB/s) "
+            f"({moved / E64 / 1e6:.0f} MB/round, "
+            f"{moved / max(h2d_s, 1e-9) / 1e6:.0f} MB/s) "
             f"of {dt:.1f}s wall")
 
     def secondary_longform():
@@ -1078,14 +1119,20 @@ def mesh_bench(n_devices: int):
     mesh = shd.make_mesh(jax.devices()[:n_devices])
     decode = shd.make_sharded_blob_decoder(geom, mesh, WINDOW, km, ke)
     carry = shd.zero_carry(geom, n_devices, mesh)
-    blobs, _ = fill(streams)
-    carry, disps, px = decode(carry, blobs)   # compile
+    def whole(filled):
+        """Sharded decoder consumes single whole-layout blobs: stitch
+        the split parts back (main is the layout's tail, so a concat
+        IS the layout)."""
+        (meta, mainb, _kt), _slot = filled
+        return np.concatenate([meta, mainb], axis=1)
+
+    carry, disps, px = decode(carry, whole(fill(streams)))   # compile
     jax.block_until_ready(disps)
 
     t0 = time.time()
     px_rounds = []   # keep device-side: a host sync per round would
     for _ in range(ROUNDS):   # serialize parse against device work
-        carry, disps, px = decode(carry, fill(streams)[0])
+        carry, disps, px = decode(carry, whole(fill(streams)))
         px_rounds.append(px)
     jax.block_until_ready(disps)
     dt = time.time() - t0

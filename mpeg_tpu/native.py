@@ -92,7 +92,6 @@ def load() -> ctypes.CDLL:
     lib.vp_parse_picture.restype = ctypes.c_int
 
     p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-    p_i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -100,11 +99,11 @@ def load() -> ctypes.CDLL:
     lib.vp_parse_blob_prepare.restype = ctypes.c_int
     lib.vp_blob_counts.argtypes = [ctypes.c_void_p, p_i64]
     lib.vp_blob_emit.argtypes = [
-        ctypes.c_void_p, p_u16, p_i8, p_u16, p_i32,
+        ctypes.c_void_p, p_u16, p_u16, p_i32,
         p_i16, p_i16, p_u16, p_u8, ctypes.c_int64, p_i64]
     lib.vp_blob_emit.restype = ctypes.c_int
     _window_args = [ctypes.c_void_p] + [ctypes.c_int64] * 10 + [
-        p_u16, p_i8, p_u16, p_i32, p_i16, p_i16, p_u16, p_u8,
+        p_u16, p_u16, p_i32, p_i16, p_i16, p_u16, p_u8,
         p_i32, p_i32, ctypes.c_int64, p_i64]
     lib.vp_blob_window.argtypes = _window_args
     lib.vp_blob_window.restype = ctypes.c_int64
@@ -300,27 +299,28 @@ class NativeVideoParser:
         self._lib.vp_blob_counts(self._h, out)
         return int(out[0]), int(out[1])
 
-    def blob_emit(self, main_didx, main_val, esc_didx, esc_val,
+    def blob_emit(self, main_rec, esc_didx, esc_val,
                   mvh, mvv, nbcls, misc, idx_base: int,
                   prev_m: int = 0, prev_e: int = 0):
         """Emit the prepared picture's pool records + packed metadata.
 
         Records are delta-encoded (uint16 index deltas continuing the
-        chains at prev_m/prev_e, int8 quotients; hop records bridge
-        gaps over 64K) — size the record arrays from blob_counts plus a
-        hop bound of (pic_span >> 16) + 2.  The metadata arrays are this
+        chains at prev_m/prev_e, int16 quotients; hop records bridge
+        gaps over 64K); main_rec is the interleaved uint16[2*n]
+        (didx, val) lane — size it from blob_counts plus a hop bound of
+        (pic_span >> 16) + 2 records.  The metadata arrays are this
         picture's [mb] slots.  Returns (flags_word, nm, ne, prev_m,
         prev_e): the emitted record counts and the new chain tails."""
         io = np.array([prev_m, prev_e, 0, 0], np.int64)
         flags = int(self._lib.vp_blob_emit(
-            self._h, main_didx, main_val, esc_didx, esc_val,
+            self._h, main_rec, esc_didx, esc_val,
             mvh, mvv, nbcls, misc, idx_base, io))
         return flags, int(io[2]), int(io[3]), int(io[0]), int(io[1])
 
     _window_fn = "vp_blob_window"
 
     def blob_window(self, start_pic: int, max_pics: int, km: int, ke: int,
-                    nm0: int, ne0: int, main_didx, main_val, esc_didx,
+                    nm0: int, ne0: int, main_rec, esc_didx,
                     esc_val, mvh, mvv, nbcls, misc, flags, types,
                     hw_nm: int = None, hw_ne: int = None,
                     prev_m: int = 0, prev_e: int = 0):
@@ -346,7 +346,7 @@ class NativeVideoParser:
             km if hw_nm is None else hw_nm,
             ke if hw_ne is None else hw_ne,
             prev_m, prev_e,
-            main_didx, main_val, esc_didx, esc_val,
+            main_rec, esc_didx, esc_val,
             mvh, mvv, nbcls, misc, flags, types, mb, out)
         return (int(n), int(out[0]), int(out[1]), int(out[2]),
                 int(out[3]), int(out[4]))
@@ -535,12 +535,12 @@ class NativePipeline:
         self._lib.pp_video_blob_counts(self._h, out)
         return int(out[0]), int(out[1])
 
-    def blob_emit(self, main_didx, main_val, esc_didx, esc_val,
+    def blob_emit(self, main_rec, esc_didx, esc_val,
                   mvh, mvv, nbcls, misc, idx_base: int,
                   prev_m: int = 0, prev_e: int = 0):
         io = np.array([prev_m, prev_e, 0, 0], np.int64)
         flags = int(self._lib.pp_video_blob_emit(
-            self._h, main_didx, main_val, esc_didx, esc_val,
+            self._h, main_rec, esc_didx, esc_val,
             mvh, mvv, nbcls, misc, idx_base, io))
         return flags, int(io[2]), int(io[3]), int(io[0]), int(io[1])
 

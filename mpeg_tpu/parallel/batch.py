@@ -26,18 +26,20 @@ The production transport is a single uint8 "window blob" per window:
   record count (bucketed), not window * max-per-picture — I pictures are
   5-10x denser than P/B, so per-window pooling cuts the coefficient bytes
   ~4x on typical GOPs;
-- pool records carry the UNPREMULTIPLIED quotient as int8 and the device
-  multiplies by the position's premultiplier (tables.PREMULTIPLIER_MATRIX);
-  values with no exact int8 quotient (large levels, junk-stream scratch
-  leaks, huge intra DCs) go to an int32 ESCAPE lane — the encoding is
-  decided per record by exact divisibility + range, so it is lossless by
-  construction;
+- pool records carry the UNPREMULTIPLIED quotient as int16 (the clipped
+  level fits +-2048, video.go:737-742) and the device multiplies by the
+  position's premultiplier (tables.PREMULTIPLIER_MATRIX); values that
+  are not an exact premultiplier multiple (junk-stream scratch leaks,
+  huge intra DCs) go to a small int32 ESCAPE lane — the encoding is
+  decided per record by exact divisibility, so it is lossless by
+  construction (an int8 quotient lane was tried and reverted: 29% of
+  1080p records escape int8, erasing the win);
 - record indices ship as uint16 DELTAS from the previous record's flat
   index (both pools are ascending end to end); a gap over 0xFFFF emits
   value-0 HOP records of delta 0xFFFF until the remainder fits, so the
   decode is one unconditional cumsum feeding the same sorted scatter —
-  at 3 bytes per main record vs the 8 of (uint32 idx, int32 val), the
-  h2d bytes of a 1080p picture drop ~2x (the transport is the
+  at 4 bytes per main record vs the 6 of (uint32 idx, int16 val), the
+  h2d bytes of a 1080p picture drop ~1.5x (the transport is the
   production bottleneck on thin links, BENCH_r04 per-lap attribution);
 - per-MB metadata packs to 7 bytes (mv 2x int16, a uint16 of 2-bit IDCT
   variant classes per block, and one uint8 of intra bits + src_sel) —
@@ -131,9 +133,8 @@ def _pes_packet(stream_id: int, payload: bytes) -> bytes:
 
 
 _MIN_KM = 4096    # minimum main-pool bucket (records)
-_MIN_KE = 512     # minimum escape-pool bucket (records; quotients
-                  # outside int8 escape, a few % of records on typical
-                  # content, so the floor is sized for real use)
+_MIN_KE = 64      # minimum escape-pool bucket (records; escapes are
+                  # junk-stream-only, near zero on spec streams)
 
 
 def pool_bucket(n: int, floor: int) -> int:
@@ -151,15 +152,23 @@ def blob_layout(geom: FrameGeometry, window: int, km: int, ke: int):
     mv_h/mv_v int16[window*mb]   motion vector actually used
     nbcls     uint16[window*mb]  2-bit IDCT variant class per block
     mbmisc    uint8[window*mb]   bits0-5 per-block intra, bits6-7 src_sel
-    main_didx uint16[km]         delta of flat index ((w*mb+m)*6+b)*64+pos
-                                 from the previous record (chain starts
-                                 at 0); 0xFFFF with value 0 may be a HOP
-                                 covering part of a larger gap
-    main_val  int8[km]           value / premultiplier[pos] (exact int8)
-    esc_didx  uint16[ke]         escape records: same delta chain,
+    esc_didx  uint16[ke]         escape records: delta chain (see below),
     esc_val   int32[ke]          full int32 coefficient value
+    main_rec  uint16[2*km]       interleaved (didx, val) pairs: [2k] is
+                                 the delta of flat index
+                                 ((w*mb+m)*6+b)*64+pos from the previous
+                                 record (chain starts at 0; 0xFFFF with
+                                 value 0 may be a HOP covering part of a
+                                 larger gap), [2k+1] the int16 quotient
+                                 value / premultiplier[pos] (exact)
 
-    Pads in all four record lanes are zeros (a value-0 add at the chain's
+    The main lane sits LAST and its fill is a byte PREFIX: the dispatch
+    transfers only meta+esc plus a power-of-two bucket of the filled
+    records (the tail [fill, km) is all zeros by the pad/high-water-mark
+    contract), so sparse windows ship a fraction of the sticky layout —
+    pad slack was 72% of the bytes at window=2 on 1080p GOP content.
+
+    Pads in all record lanes are zeros (a value-0 add at the chain's
     current index): constant, sorted-safe, recycled-buffer-friendly.
     """
     mb = geom.mb_size
@@ -169,8 +178,8 @@ def blob_layout(geom: FrameGeometry, window: int, km: int, ke: int):
         ("flags", 4 * window),
         ("mv_h", 2 * window * mb), ("mv_v", 2 * window * mb),
         ("nbcls", 2 * window * mb), ("mbmisc", window * mb),
-        ("main_didx", 2 * km), ("main_val", km),
         ("esc_didx", 2 * ke), ("esc_val", 4 * ke),
+        ("main_rec", 4 * km),
     ]
     offs = {}
     pos = 0
@@ -181,11 +190,19 @@ def blob_layout(geom: FrameGeometry, window: int, km: int, ke: int):
     return offs, (pos + 3) & ~3
 
 
+def blob_split(geom: FrameGeometry, window: int, km: int, ke: int) -> int:
+    """Byte offset where the main record lane starts — everything before
+    it (meta + escape lanes) is the fixed-size transfer unit; the main
+    lane transfers as a bucketed prefix of its fill."""
+    offs, _ = blob_layout(geom, window, km, ke)
+    return offs["main_rec"][0]
+
+
 def plan_pool_records(plan):
     """Split one plan's nonzero coefficients into (main, escape) records.
 
-    main: (idx int64[], quot int8[]) where coeff == quot * premult[pos];
-    escape: (idx int64[], val int32[]) for values with no exact int8
+    main: (idx int64[], quot int16[]) where coeff == quot * premult[pos];
+    escape: (idx int64[], val int32[]) for values with no exact int16
     quotient.  idx is the flat position within the picture (block*64+pos).
     """
     flat = plan.coeffs.reshape(-1)
@@ -193,8 +210,8 @@ def plan_pool_records(plan):
     v = flat[idx].astype(np.int64)
     p = _PREMULT[idx & 63].astype(np.int64)
     q = v // p
-    main = (q * p == v) & (q >= -128) & (q <= 127)
-    return (idx[main], q[main].astype(np.int8),
+    main = (q * p == v) & (q >= -32768) & (q <= 32767)
+    return (idx[main], q[main].astype(np.int16),
             idx[~main], v[~main].astype(np.int32))
 
 
@@ -231,7 +248,7 @@ def _window_records(plans, mb: int, records=None):
         ev_l.append(ev)
     cat = lambda parts, dt: (np.concatenate(parts) if parts
                              else np.zeros(0, dt))
-    return ((cat(mi_l, np.int64), cat(mv_l, np.int8)),
+    return ((cat(mi_l, np.int64), cat(mv_l, np.int16)),
             (cat(ei_l, np.int64), cat(ev_l, np.int32)))
 
 
@@ -277,10 +294,38 @@ def blob_views(blob: np.ndarray, geom: FrameGeometry, window: int,
         "mv_v": view("mv_v", np.int16, window * mb),
         "nbcls": view("nbcls", np.uint16, window * mb),
         "mbmisc": view("mbmisc", np.uint8, window * mb),
-        "main_didx": view("main_didx", np.uint16, km),
-        "main_val": view("main_val", np.int8, km),
         "esc_didx": view("esc_didx", np.uint16, ke),
         "esc_val": view("esc_val", np.int32, ke),
+        "main_rec": view("main_rec", np.uint16, 2 * km),
+    }
+
+
+def split_views(meta_esc: np.ndarray, main_buf: np.ndarray,
+                geom: FrameGeometry, window: int, km: int, ke: int) -> dict:
+    """blob_views over a SPLIT window blob: `meta_esc` holds the fixed
+    prefix (metadata + escape lanes, blob_split bytes), `main_buf` the
+    main record lane (4*km bytes).  Callers that transfer the two parts
+    separately (bucketed main prefix) fill through these views; the
+    native window call takes the same pointers either way."""
+    offs, _ = blob_layout(geom, window, km, ke)
+    split = offs["main_rec"][0]
+    assert meta_esc.size == split and main_buf.size == 4 * km
+    mb = geom.mb_size
+
+    def view(name, dtype, n):
+        off, size = offs[name]
+        assert np.dtype(dtype).itemsize * n <= size
+        return meta_esc[off:off + np.dtype(dtype).itemsize * n].view(dtype)
+
+    return {
+        "flags": view("flags", np.int32, window),
+        "mv_h": view("mv_h", np.int16, window * mb),
+        "mv_v": view("mv_v", np.int16, window * mb),
+        "nbcls": view("nbcls", np.uint16, window * mb),
+        "mbmisc": view("mbmisc", np.uint8, window * mb),
+        "esc_didx": view("esc_didx", np.uint16, ke),
+        "esc_val": view("esc_val", np.int32, ke),
+        "main_rec": main_buf.view(np.uint16),
     }
 
 
@@ -308,8 +353,9 @@ def pack_plans_blob(plans, geom: FrameGeometry, window: int,
         raise ValueError(
             f"pool capacity exceeded: main {mdidx.size}/{km}, "
             f"esc {edidx.size}/{ke}")
-    v["main_didx"][:mdidx.size] = mdidx
-    v["main_val"][mpos] = mv
+    rec = v["main_rec"]
+    rec[0:2 * mdidx.size:2] = mdidx
+    rec.view(np.int16)[1::2][mpos] = mv
     v["esc_didx"][:edidx.size] = edidx
     v["esc_val"][epos] = ev
     # Pad records in both lanes are zeros (np.zeros blob): a value-0 add
@@ -344,42 +390,51 @@ def _blob_field(blob, offs, name, dtype, n):
     return lax.bitcast_convert_type(raw.reshape(n, width), dtype)
 
 
-def densify_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
-                     ke: int):
+def densify_split_jax(meta_esc, main_rec_bytes, geom: FrameGeometry,
+                      window: int, ke: int):
     """Stage-A device unpack: scatter-add the coefficient pools into the
-    FLAT dense tensor int32[window*mb*6*64] (pad records add value 0 at
-    the last dense index — harmless).
+    FLAT dense tensor int32[window*mb*6*64].
 
-    Main + escape lanes merge into ONE scatter (integer adds commute),
-    and the result stays flat: on the TPU toolchain a large scatter
-    compiles in seconds ONLY as a whole module with a flat result —
-    reshaping the scatter output or co-compiling unrelated outputs in
-    the same module sends a compiler pass superlinear (measured at
-    km=2^20: flat-alone ~15 s, any composition ~400 s).  The blob scan
-    decoder therefore dispatches this as its own executable and feeds
-    the result to the scatter-free scan stage (make_blob_scan_decoder).
+    `meta_esc` is the blob's fixed prefix (metadata + escape lanes);
+    `main_rec_bytes` is a uint8 slice of the main record lane — any
+    bucketed prefix of it (the tail beyond the fill is all zeros, and a
+    zero record is a no-op add at the chain's current index), so sparse
+    windows transfer and process a fraction of the sticky capacity.
+
+    Main + escape lanes stay separate scatters summed at the end, and
+    the result stays flat: on the TPU toolchain a large scatter compiles
+    in seconds ONLY as a whole module with a flat result — reshaping the
+    scatter output or co-compiling unrelated outputs in the same module
+    sends a compiler pass superlinear (measured at km=2^20: flat-alone
+    ~15 s, any composition ~400 s).  The blob scan decoder therefore
+    dispatches this as its own executable and feeds the result to the
+    scatter-free scan stage (make_blob_scan_decoder).
     """
     import jax.numpy as jnp
+    from jax import lax
 
-    offs, _ = blob_layout(geom, window, km, ke)
+    offs, _ = blob_layout(geom, window, 1, ke)   # esc offsets: km-free
     mb = geom.mb_size
-
-    def get(name, dtype, n):
-        return _blob_field(blob, offs, name, dtype, n)
-
     n = window * mb * 6 * 64
     # Indices ship as uint16 deltas (hop records bridge gaps over 64K
     # with value 0); one int32 cumsum rebuilds the absolute chain.  The
     # min(n-1) clamp is insurance against malformed blobs only — a
     # well-formed chain ends at/below the window's last real index —
     # and preserves monotonicity, so sortedness still holds.
-    midx = jnp.cumsum(get("main_didx", jnp.uint16, km).astype(jnp.int32))
+    kt = main_rec_bytes.shape[0] // 4
+    # One contiguous u32 load per record, lanes split with elementwise
+    # mask/shift (TPU-friendly: a strided u16 column read of the
+    # interleaved pairs measured ~10x slower than the whole densify).
+    rec = lax.bitcast_convert_type(
+        main_rec_bytes.reshape(kt, 4), jnp.int32)
+    midx = jnp.cumsum(rec & 0xFFFF)
     midx = jnp.minimum(midx, n - 1)
-    mval = get("main_val", jnp.int8, km).astype(jnp.int32)
+    mval = lax.shift_right_arithmetic(rec, 16)   # sign-extended int16
     contrib = mval * jnp.asarray(_PREMULT)[midx & 63]
-    eidx = jnp.cumsum(get("esc_didx", jnp.uint16, ke).astype(jnp.int32))
+    eidx = jnp.cumsum(_blob_field(
+        meta_esc, offs, "esc_didx", jnp.uint16, ke).astype(jnp.int32))
     eidx = jnp.minimum(eidx, n - 1)
-    eval_ = get("esc_val", jnp.int32, ke)
+    eval_ = _blob_field(meta_esc, offs, "esc_val", jnp.int32, ke)
     # Blob ABI: each pool's decoded indices are nondecreasing (deltas
     # are unsigned; pads are value-0 records of delta 0), so both
     # scatters declare indices_are_sorted — the sorted TPU scatter
@@ -392,6 +447,15 @@ def densify_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
     esc = jnp.zeros(n, jnp.int32).at[eidx].add(
         eval_, indices_are_sorted=True)
     return main + esc
+
+
+def densify_blob_jax(blob, geom: FrameGeometry, window: int, km: int,
+                     ke: int):
+    """Whole-buffer form of densify_split_jax (sharded/oracle paths):
+    slices the fixed prefix and the full main lane out of one blob."""
+    split = blob_split(geom, window, km, ke)
+    return densify_split_jax(blob[:split], blob[split:split + 4 * km],
+                             geom, window, ke)
 
 
 def unpack_blob_meta(blob, geom: FrameGeometry, window: int, km: int,
@@ -694,23 +758,30 @@ def make_blob_scan_decoder(geom: FrameGeometry, window: int, km: int,
 
     step = make_scan_step(geom, emit_rgba, recon)
     mb = geom.mb_size
+    split = blob_split(geom, window, km, ke)
 
     @jax.jit
-    def densify(blob):
-        return densify_blob_jax(blob, geom, window, km, ke)
+    def densify(meta_esc, main_part):
+        return densify_split_jax(meta_esc, main_part, geom, window, ke)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def scan_stage(carry, blob, dense):
-        xs = unpack_blob_meta(blob, geom, window, km, ke)
+    def scan_stage(carry, meta_esc, dense):
+        xs = unpack_blob_meta(meta_esc, geom, window, km, ke)
         xs["coeffs"] = dense.reshape(window, mb, 6, 64)
         return jax.lax.scan(step, carry, xs)
 
-    def scan_decode(carry, blob):
-        # Commit the blob to the device ONCE — both stages consume the
-        # same device array (feeding the numpy buffer to each jit would
-        # h2d the whole window twice).
-        blob = jax.device_put(blob)
-        return scan_stage(carry, blob, densify(blob))
+    def scan_decode(carry, blob, fill=None):
+        # Two transfers per window: the fixed meta+escape prefix, and a
+        # power-of-two bucket of the FILLED main records ([fill, km) is
+        # all zeros by the pad contract, and a zero record is a no-op,
+        # so any bucket >= fill decodes identically).  Sparse windows
+        # ship a fraction of the sticky layout; densify recompiles per
+        # bucket actually seen (a handful, shape-keyed by jax.jit).
+        nm = km if fill is None else fill[0]
+        kt = min(pool_bucket(max(nm, 1), _MIN_KM), km)
+        meta_esc = jax.device_put(blob[:split])
+        main_part = jax.device_put(blob[split:split + 4 * kt])
+        return scan_stage(carry, meta_esc, densify(meta_esc, main_part))
 
     return scan_decode
 
@@ -734,22 +805,29 @@ def make_picture_blob_recon(geom: FrameGeometry, km: int, ke: int):
     import jax.numpy as jnp
 
     mb = geom.mb_size
+    split = blob_split(geom, 1, km, ke)
 
     @jax.jit
-    def densify(blob):
-        return densify_blob_jax(blob, geom, 1, km, ke)
+    def densify(meta_esc, main_part):
+        return densify_split_jax(meta_esc, main_part, geom, 1, ke)
 
     @jax.jit
-    def recon(cur, fwd, bwd, blob, dense):
-        meta = unpack_blob_meta(blob, geom, 1, km, ke)
+    def recon(cur, fwd, bwd, meta_esc, dense):
+        meta = unpack_blob_meta(meta_esc, geom, 1, km, ke)
         return reconstruct_picture(
             cur, fwd, bwd, dense.reshape(mb, 6, 64),
             meta["nblocks"][0], meta["intra_blk"][0], meta["src_sel"][0],
             meta["mv_h"][0], meta["mv_v"][0], geom, jnp)
 
-    def run(cur, fwd, bwd, blob):
-        blob = jax.device_put(blob)   # one h2d; both stages consume it
-        return recon(cur, fwd, bwd, blob, densify(blob))
+    def run(cur, fwd, bwd, blob, fill=None):
+        # Prefix transfer like the window decoder: meta+esc plus a
+        # bucket of the filled main records (P/B pictures ship a
+        # fraction of the sticky layout).
+        nm = km if fill is None else fill
+        kt = min(pool_bucket(max(nm, 1), _MIN_KM), km)
+        meta_esc = jax.device_put(blob[:split])
+        main_part = jax.device_put(blob[split:split + 4 * kt])
+        return recon(cur, fwd, bwd, meta_esc, densify(meta_esc, main_part))
 
     return run
 
@@ -1157,7 +1235,7 @@ class BatchVideoDecoder:
         while True:
             n, nm, ne, pending, prev_m, prev_e = self.native.blob_window(
                 w_done, w, self._km, self._ke, nm, ne,
-                v["main_didx"], v["main_val"], v["esc_didx"], v["esc_val"],
+                v["main_rec"], v["esc_didx"], v["esc_val"],
                 v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
                 v["flags"], types, hw_nm=hwm[0], hw_ne=hwm[1],
                 prev_m=prev_m, prev_e=prev_e)
@@ -1364,8 +1442,13 @@ class BatchVideoDecoder:
         self._ensure_device_state(caps)
         t0 = time.perf_counter()
         if self.transport == "blob":
-            self._carry, disps = self._scan(self._carry, blob)
-            nbytes = blob.nbytes
+            self._carry, disps = self._scan(self._carry, blob, fill)
+            if fill is not None:
+                split = blob_split(self.geom, self.window, *caps)
+                kt = min(pool_bucket(max(fill[0], 1), _MIN_KM), caps[0])
+                nbytes = split + 4 * kt   # bytes actually transferred
+            else:
+                nbytes = blob.nbytes
             # Recycle the host blob once this window's OUTPUT is ready:
             # the scan cannot complete without having fully read the
             # blob.  (is_ready on the device_put result itself is NOT a

@@ -623,7 +623,7 @@ class Video:
                                      self._blob_km, self._blob_ke)
             run = B.make_picture_blob_recon(self.geom, self._blob_km,
                                             self._blob_ke)
-            cur.flat = run(cur.flat, fwd.flat, bwd.flat, blob)
+            cur.flat = run(cur.flat, fwd.flat, bwd.flat, blob, fill=nm)
 
     def _decode_slice(self, slice_index: int) -> None:
         buf = self.buf

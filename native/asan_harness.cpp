@@ -49,12 +49,11 @@ static int run_blob(const std::vector<uint8_t>& data) {
     while (vp_parse_blob_prepare(p) != 0) {
         int64_t counts[2];
         vp_blob_counts(p, counts);
-        std::vector<uint16_t> mi(counts[0] + hb);
-        std::vector<int8_t> mv(counts[0] + hb);
+        std::vector<uint16_t> mi(2 * (counts[0] + hb));
         std::vector<uint16_t> ei(counts[1] + hb);
         std::vector<int32_t> ev(counts[1] + hb);
         int64_t io[4] = {0, 0, 0, 0};
-        vp_blob_emit(p, mi.data(), mv.data(), ei.data(), ev.data(),
+        vp_blob_emit(p, mi.data(), ei.data(), ev.data(),
                      mvh.data(), mvv.data(), nbcls.data(), misc.data(),
                      (int64_t)(pics % 8) * mb * 6 * 64, io);
         pics++;
@@ -78,8 +77,7 @@ static int run_window(const std::vector<uint8_t>& data) {
     for (;;) {
         int64_t w_done = 0, nm = 0, ne = 0, pm = 0, pe = 0;
         for (;;) {
-            std::vector<uint16_t> mi(km);
-            std::vector<int8_t> mv(km);
+            std::vector<uint16_t> mi(2 * km);
             std::vector<uint16_t> ei(ke);
             std::vector<int32_t> ev(ke);
             std::vector<int16_t> mvh(W * mb), mvv(W * mb);
@@ -93,7 +91,7 @@ static int run_window(const std::vector<uint8_t>& data) {
             w_done += vp_blob_window(p, w_done, W, km, ke, nm, ne,
                                      km, ke,   // fresh buffers: full pad
                                      pm, pe,
-                                     mi.data(), mv.data(), ei.data(),
+                                     mi.data(), ei.data(),
                                      ev.data(), mvh.data(), mvv.data(),
                                      nbc.data(), msc.data(), flags.data(),
                                      types.data(), mb, out);
@@ -188,12 +186,11 @@ static int run_pipeline(const std::vector<uint8_t>& data) {
             while (pp_video_blob_prepare(p) != 0) {
                 int64_t counts[2];
                 pp_video_blob_counts(p, counts);
-                std::vector<uint16_t> mi(counts[0] + hb);
-                std::vector<int8_t> mv(counts[0] + hb);
+                std::vector<uint16_t> mi(2 * (counts[0] + hb));
                 std::vector<uint16_t> ei(counts[1] + hb);
                 std::vector<int32_t> ev(counts[1] + hb);
                 int64_t io[4] = {0, 0, 0, 0};
-                pp_video_blob_emit(p, mi.data(), mv.data(), ei.data(),
+                pp_video_blob_emit(p, mi.data(), ei.data(),
                                    ev.data(), mvh.data(), mvv.data(),
                                    nbcls.data(), misc.data(), 0, io);
                 items++;

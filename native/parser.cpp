@@ -498,7 +498,7 @@ struct VideoParser {
     std::vector<RecSeg> rec_segs;       // per coded-block record segments
     std::vector<int32_t> seg_of;        // bid -> its live segment index
     PodVec<uint32_t> rec_midx;          // idx = bid * 64 + pos (pic-rel)
-    PodVec<int8_t> rec_mval;            // quotient (blob ABI: int8 lane)
+    PodVec<int16_t> rec_mval;           // quotient (blob ABI: int16 lane)
     PodVec<uint32_t> rec_eidx;
     PodVec<int32_t> rec_eval;
     // Emit ships uint16 index DELTAS; when every within-picture gap
@@ -562,14 +562,14 @@ struct VideoParser {
             int j = __builtin_ctzll(occ);
             int32_t q = block_quot[j];
             if (q == 0) continue;   // e.g. a zero intra DC
-            if (__builtin_expect(q >= -128 && q <= 127, 1)) {
+            if (__builtin_expect(q >= -32768 && q <= 32767, 1)) {
                 uint32_t idx = base + (uint32_t)j;
                 if (midx_any && idx - last_midx > 0xFFFFu)
                     mgaps_small = false;
                 last_midx = idx;
                 midx_any = true;
                 rec_midx.push(idx);
-                rec_mval.push((int8_t)q);
+                rec_mval.push((int16_t)q);
             } else {
                 // escape carries the full coefficient (level * premult),
                 // derived from the quotient (pool mode does not keep the
@@ -2056,7 +2056,7 @@ void vp_blob_counts(void* p, int64_t* out) {
 // picture_index * mb_size * 6 * 64.  io = {prev_m, prev_e (in/out),
 // nm_out, ne_out}.  Returns the flags word (bit0 = is_ref, bit1 =
 // valid).
-int vp_blob_emit(void* p, uint16_t* main_didx, int8_t* main_val,
+int vp_blob_emit(void* p, uint16_t* main_rec,
                  uint16_t* esc_didx, int32_t* esc_val,
                  int16_t* mvh, int16_t* mvv, uint16_t* nbcls, uint8_t* misc,
                  int64_t idx_base, int64_t* io) {
@@ -2067,16 +2067,16 @@ int vp_blob_emit(void* p, uint16_t* main_didx, int8_t* main_val,
     // different base adds the delta (pending-picture re-emit, direct
     // blob_emit callers that never set pool_base).
     uint32_t delta = (uint32_t)(idx_base - v->pool_base);
-    auto emit_m = [&](uint32_t idx, int8_t val) {
+    auto emit_m = [&](uint32_t idx, int16_t val) {
         uint32_t d = idx - prev_m;
         while (d > 0xFFFFu) {
-            main_didx[nm] = 0xFFFF;
-            main_val[nm] = 0;
+            main_rec[2 * nm] = 0xFFFF;
+            main_rec[2 * nm + 1] = 0;
             nm++;
             d -= 0xFFFFu;
         }
-        main_didx[nm] = (uint16_t)d;
-        main_val[nm] = val;
+        main_rec[2 * nm] = (uint16_t)d;
+        main_rec[2 * nm + 1] = (uint16_t)val;
         nm++;
         prev_m = idx;
     };
@@ -2098,17 +2098,17 @@ int vp_blob_emit(void* p, uint16_t* main_didx, int8_t* main_val,
         // ascending bid order — the pools ARE the emit stream.
         int64_t n = (int64_t)v->rec_midx.size();
         const uint32_t* mi = v->rec_midx.data();
-        const int8_t* mv = v->rec_mval.data();
+        const int16_t* mv = v->rec_mval.data();
         if (v->mgaps_small && n > 0) {
             // Every within-picture gap fits uint16: one boundary record
-            // (hops as needed), then a vectorizable adjacent-difference
-            // loop and a value memcpy.
+            // (hops as needed), then a vectorizable interleaved
+            // adjacent-difference + value loop.
             emit_m(mi[0] + delta, mv[0]);
-            uint16_t* dd = main_didx + nm - 1;
-            for (int64_t k = 1; k < n; k++)
-                dd[k] = (uint16_t)(mi[k] - mi[k - 1]);
-            if (n > 1)
-                std::memcpy(main_val + nm, mv + 1, (size_t)(n - 1));
+            uint16_t* dd = main_rec + 2 * (nm - 1);
+            for (int64_t k = 1; k < n; k++) {
+                dd[2 * k] = (uint16_t)(mi[k] - mi[k - 1]);
+                dd[2 * k + 1] = (uint16_t)mv[k];
+            }
             nm += n - 1;
             prev_m = mi[n - 1] + delta;
         } else {
@@ -2129,7 +2129,7 @@ int vp_blob_emit(void* p, uint16_t* main_didx, int8_t* main_val,
             if (si < 0) continue;   // re-predicted/re-touched: latest only
             const auto& s = v->rec_segs[si];
             const uint32_t* mi = v->rec_midx.data() + s.m_start;
-            const int8_t* mv = v->rec_mval.data() + s.m_start;
+            const int16_t* mv = v->rec_mval.data() + s.m_start;
             for (int k = 0; k < s.m_len; k++) emit_m(mi[k] + delta, mv[k]);
             const uint32_t* ei = v->rec_eidx.data() + s.e_start;
             const int32_t* ev = v->rec_eval.data() + s.e_start;
@@ -2205,7 +2205,7 @@ static int64_t blob_window_impl(
         int64_t start_pic, int64_t max_pics, int64_t km, int64_t ke,
         int64_t nm0, int64_t ne0, int64_t hw_nm, int64_t hw_ne,
         int64_t prev_m0, int64_t prev_e0,
-        uint16_t* main_didx, int8_t* main_val,
+        uint16_t* main_rec,
         uint16_t* esc_didx, int32_t* esc_val,
         int16_t* mvh, int16_t* mvv, uint16_t* nbcls, uint8_t* misc,
         int32_t* flags, int32_t* types, int64_t mb, int64_t* out) {
@@ -2243,7 +2243,7 @@ static int64_t blob_window_impl(
         std::memset(misc + w * mb, 0, mb * sizeof(uint8_t));
         int64_t io[4] = {prev_m, prev_e, 0, 0};
         flags[w] = vp_blob_emit(
-            v, main_didx + nm, main_val + nm, esc_didx + ne, esc_val + ne,
+            v, main_rec + 2 * nm, esc_didx + ne, esc_val + ne,
             mvh + w * mb, mvv + w * mb, nbcls + w * mb, misc + w * mb,
             base, io);
         types[w] = t;
@@ -2260,8 +2260,7 @@ static int64_t blob_window_impl(
     // chain at its final index, value 0 makes the add a no-op.
     int64_t fm = hw_nm < nm ? nm : (hw_nm > km ? km : hw_nm);
     int64_t fe = hw_ne < ne ? ne : (hw_ne > ke ? ke : hw_ne);
-    std::memset(main_didx + nm, 0, (fm - nm) * sizeof(uint16_t));
-    std::memset(main_val + nm, 0, (size_t)(fm - nm));
+    std::memset(main_rec + 2 * nm, 0, (size_t)(fm - nm) * 4);
     std::memset(esc_didx + ne, 0, (fe - ne) * sizeof(uint16_t));
     std::memset(esc_val + ne, 0, (fe - ne) * sizeof(int32_t));
     if (w < max_pics) {
@@ -2284,7 +2283,7 @@ int64_t vp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
                        int64_t km, int64_t ke, int64_t nm0, int64_t ne0,
                        int64_t hw_nm, int64_t hw_ne,
                        int64_t prev_m0, int64_t prev_e0,
-                       uint16_t* main_didx, int8_t* main_val,
+                       uint16_t* main_rec,
                        uint16_t* esc_didx, int32_t* esc_val,
                        int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
                        uint8_t* misc, int32_t* flags, int32_t* types,
@@ -2292,7 +2291,7 @@ int64_t vp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
     return blob_window_impl((VideoParser*)p, vp_parse_blob_prepare, p,
                             start_pic, max_pics, km, ke, nm0, ne0,
                             hw_nm, hw_ne, prev_m0, prev_e0,
-                            main_didx, main_val, esc_didx, esc_val,
+                            main_rec, esc_didx, esc_val,
                             mvh, mvv, nbcls, misc, flags, types, mb, out);
 }
 
@@ -2518,11 +2517,11 @@ void pp_video_blob_counts(void* p, int64_t* out) {
     vp_blob_counts(&((Pipeline*)p)->vp, out);
 }
 
-int pp_video_blob_emit(void* p, uint16_t* main_didx, int8_t* main_val,
+int pp_video_blob_emit(void* p, uint16_t* main_rec,
                        uint16_t* esc_didx, int32_t* esc_val,
                        int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
                        uint8_t* misc, int64_t idx_base, int64_t* io) {
-    return vp_blob_emit(&((Pipeline*)p)->vp, main_didx, main_val,
+    return vp_blob_emit(&((Pipeline*)p)->vp, main_rec,
                         esc_didx, esc_val, mvh, mvv, nbcls, misc,
                         idx_base, io);
 }
@@ -2531,7 +2530,7 @@ int64_t pp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
                        int64_t km, int64_t ke, int64_t nm0, int64_t ne0,
                        int64_t hw_nm, int64_t hw_ne,
                        int64_t prev_m0, int64_t prev_e0,
-                       uint16_t* main_didx, int8_t* main_val,
+                       uint16_t* main_rec,
                        uint16_t* esc_didx, int32_t* esc_val,
                        int16_t* mvh, int16_t* mvv, uint16_t* nbcls,
                        uint8_t* misc, int32_t* flags, int32_t* types,
@@ -2540,7 +2539,7 @@ int64_t pp_blob_window(void* p, int64_t start_pic, int64_t max_pics,
     return blob_window_impl(&pp->vp, pp_video_blob_prepare, p,
                             start_pic, max_pics, km, ke, nm0, ne0,
                             hw_nm, hw_ne, prev_m0, prev_e0,
-                            main_didx, main_val, esc_didx, esc_val,
+                            main_rec, esc_didx, esc_val,
                             mvh, mvv, nbcls, misc, flags, types, mb, out);
 }
 

@@ -288,8 +288,7 @@ def test_parse_thread_pool_parity(mpeg1video_path):
         win_m += cm
         win_e += ce
         hb = (mb * 6 * 64 >> 16) + 2   # single-picture hop bound
-        probe.blob_emit(np.empty(cm + hb, np.uint16),
-                        np.empty(cm + hb, np.int8),
+        probe.blob_emit(np.empty(2 * (cm + hb), np.uint16),
                         np.empty(ce + hb, np.uint16),
                         np.empty(ce + hb, np.int32), *meta, 0)
         pics += 1
@@ -309,7 +308,7 @@ def test_parse_thread_pool_parity(mpeg1video_path):
             types = np.empty(window, np.int32)
             n, nm, ne, pending, _pm, _pe = parser.blob_window(
                 0, window, km, ke, 0, 0,
-                v["main_didx"], v["main_val"], v["esc_didx"], v["esc_val"],
+                v["main_rec"], v["esc_didx"], v["esc_val"],
                 v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
                 v["flags"], types)
             assert pending == 0

@@ -254,8 +254,7 @@ def test_native_reset_matches_fresh_parser(mpeg1video_path):
         mb = geom.mb_size
         cm, ce = p.blob_counts()
         hb = (mb * 6 * 64 >> 16) + 2
-        p.blob_emit(np.empty(cm + hb, np.uint16),
-                    np.empty(cm + hb, np.int8),
+        p.blob_emit(np.empty(2 * (cm + hb), np.uint16),
                     np.empty(ce + hb, np.uint16),
                     np.empty(ce + hb, np.int32),
                     np.zeros(mb, np.int16), np.zeros(mb, np.int16),
@@ -282,8 +281,7 @@ def test_native_reset_matches_fresh_parser(mpeg1video_path):
         mb = geom.mb_size
         cm, ce = counts[-1]
         hb = (mb * 6 * 64 >> 16) + 2
-        probe.blob_emit(np.empty(cm + hb, np.uint16),
-                        np.empty(cm + hb, np.int8),
+        probe.blob_emit(np.empty(2 * (cm + hb), np.uint16),
                         np.empty(ce + hb, np.uint16),
                         np.empty(ce + hb, np.int32),
                         np.zeros(mb, np.int16), np.zeros(mb, np.int16),
@@ -300,7 +298,7 @@ def test_native_reset_matches_fresh_parser(mpeg1video_path):
         p2 = native.NativeVideoParser(data)
         n, nm, ne, pending, _pm, _pe = p2.blob_window(
             0, window, km, ke, 0, 0,
-            v["main_didx"], v["main_val"], v["esc_didx"], v["esc_val"],
+            v["main_rec"], v["esc_didx"], v["esc_val"],
             v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
             v["flags"], types)
         assert n == window and pending == 0
@@ -342,7 +340,7 @@ def test_native_blob_records_sorted(mpeg1video_path):
     while True:
         n, nm, ne, pending, _pm, _pe = p.blob_window(
             0, window, km, ke, 0, 0,
-            v["main_didx"], v["main_val"], v["esc_didx"], v["esc_val"],
+            v["main_rec"], v["esc_didx"], v["esc_val"],
             v["mv_h"], v["mv_v"], v["nbcls"], v["mbmisc"],
             v["flags"], types)
         assert pending == 0
@@ -351,15 +349,19 @@ def test_native_blob_records_sorted(mpeg1video_path):
         windows += 1
         if first_native is None:
             first_native = blob.copy()
-        for dname, vname in (("main_didx", "main_val"),
-                             ("esc_didx", "esc_val")):
-            idx = np.cumsum(v[dname].astype(np.int64))
+        def lanes(views):
+            rec = views["main_rec"].astype(np.int64)   # (didx, val) pairs
+            return ((rec[0::2], rec[1::2], "main"),
+                    (views["esc_didx"].astype(np.int64),
+                     views["esc_val"].astype(np.int64), "esc"))
+
+        for d, val, name in lanes(v):
+            idx = np.cumsum(d)
             assert idx[-1] < span, \
-                f"{dname} chain leaves the dense span in window {windows}"
-            zero = v[vname].astype(np.int64) == 0
-            d = v[dname].astype(np.int64)
+                f"{name} chain leaves the dense span in window {windows}"
+            zero = val == 0
             assert ((~zero) | (d == 0xFFFF) | (d == 0)).all(), \
-                f"{dname}: value-0 record that is neither hop nor pad"
+                f"{name}: value-0 record that is neither hop nor pad"
         if n < window:
             break
     assert windows >= 2   # the fixture spans multiple windows
@@ -371,9 +373,8 @@ def test_native_blob_records_sorted(mpeg1video_path):
         plans.append(item)
     pb = pack_plans_blob(plans[:window], geom, window, km, ke)
     pv = blob_views(pb, geom, window, km, ke)
-    for name in ("main_didx", "esc_didx"):
-        idx = np.cumsum(pv[name].astype(np.int64))
-        assert idx[-1] < span
+    assert np.cumsum(pv["main_rec"].astype(np.int64)[0::2])[-1] < span
+    assert np.cumsum(pv["esc_didx"].astype(np.int64))[-1] < span
     np.testing.assert_array_equal(pb, first_native)
 
 
