@@ -791,20 +791,38 @@ def main():
         """North-star config (BASELINE.json): 64 concurrent 1080p
         streams on one chip.  Device-resident fps is the MXU/HBM
         saturation figure; end-to-end stays bound by the single host
-        parse core (parse scales per-core — BENCH_PARSE_THREADS)."""
+        parse core (parse scales per-core — BENCH_PARSE_THREADS).
+
+        Transport: all 64 streams' records form ONE global delta chain
+        into one [64 * window * pic_span] dense tensor — the existing
+        window ABI supports it directly (stream s fills picture slots
+        [s*W, (s+1)*W) of one logical 128-picture window), so there is
+        no per-stream record-bucket slack at all: the round ships the
+        global metadata block plus a bucket of the SUM of fills
+        (58 MB/round before the prefix cut, 41 MB with per-round max
+        buckets, ~16 MB with the global chain)."""
         # Working-set control: the per-stream reconstruct temps x 64
         # exceed the 15.75 GB HBM budget, so the 64 streams decode as
         # lax.map over 2 chunks of 32 inside ONE executable — still 64
         # concurrent streams per dispatch, half the peak memory (each
         # 32-batch already saturates the chip).
+        import functools
+
+        from mpeg_tpu.parallel.batch import blob_split, split_views
+
         S64, W64, R64, CH = 64, 2, 3, 2
+        GW = S64 * W64   # one global logical window
         geom64, pics64, km64, ke64 = discover_buckets(data, W64)
-        fill64, ring64 = make_window_filler(geom64, W64, km64, ke64, S64,
-                                            depth=2)
+        mb64 = geom64.mb_size
+        assert GW * mb64 * 6 * 64 < 2 ** 31   # int32 cumsum span
+        # Global pools: sum of fills, not 64x the densest window.
+        kmg = pool_bucket(S64 * km64 // 2, 4096)
+        keg = pool_bucket(S64 * ke64, 64)
+        split_g = blob_split(geom64, GW, kmg, keg)
+
         streams64 = [Stream(data) for _ in range(S64)]
         # Stagger the identical loops so per-stream blobs differ (the
         # tunnel compresses; 64 equal blobs would undersell h2d).
-        mb64 = geom64.mb_size
         hb64 = (mb64 * 6 * 64 >> 16) + 2
         scratch = (np.empty(2 * (km64 + hb64), np.uint16),
                    np.empty(ke64 + hb64, np.uint16),
@@ -817,64 +835,98 @@ def main():
                     break
                 st.p.blob_emit(*scratch, 0)
 
-        def scan64(carry, blob, dense):
-            xs = unpack_blob_meta(blob, geom64, W64, km64, ke64)
-            xs["coeffs"] = dense.reshape(W64, geom64.mb_size, 6, 64)
+        # Two recycled global slots (parse || dispatch pipelining).
+        ring64 = queue.Queue()
+        for _ in range(2):
+            meta_g = np.empty(split_g, np.uint8)
+            main_g = np.empty(4 * kmg, np.uint8)
+            vg = split_views(meta_g, main_g, geom64, GW, kmg, keg)
+            types_g = np.empty(GW, np.int32)
+            # hwm: fresh buffers get a full zero-pad on first fill
+            ring64.put([meta_g, main_g, vg, types_g, kmg, keg])
+
+        def fill64(streams):
+            slot = ring64.get()
+            meta_g, main_g, vg, types_g, hw_m, hw_e = slot
+            nm = ne = pm = pe = 0
+            for s, st in enumerate(streams):
+                w_done = s * W64
+                while w_done < (s + 1) * W64:
+                    n, nm, ne, pending, pm, pe = st.p.blob_window(
+                        w_done, (s + 1) * W64, kmg, keg, nm, ne,
+                        vg["main_rec"], vg["esc_didx"], vg["esc_val"],
+                        vg["mv_h"], vg["mv_v"], vg["nbcls"], vg["mbmisc"],
+                        vg["flags"], types_g,
+                        # pad only on the very last call; intermediate
+                        # calls would re-zero the same tail repeatedly
+                        hw_nm=hw_m if s == S64 - 1 else 0,
+                        hw_ne=hw_e if s == S64 - 1 else 0,
+                        prev_m=pm, prev_e=pe)
+                    assert pending == 0, \
+                        f"global pool overflow: {nm}/{kmg}, {ne}/{keg}"
+                    w_done += n
+                    if w_done < (s + 1) * W64:
+                        st.reloop()
+            slot[4], slot[5] = nm, ne   # next fill pads [fill', fill)
+            return (meta_g, main_g, nm), slot
+
+        def scan_g(carry, xs):
             return jax.lax.scan(step, carry, xs)
 
-        import functools
-
         @jax.jit
-        @jax.jit
-        def vdensify64(metas, mains):
-            ms = metas.reshape(CH, S64 // CH, -1)
-            rs = mains.reshape(CH, S64 // CH, -1)
-            vd = jax.vmap(lambda me, mn: densify_split_jax(
-                me, mn, geom64, W64, ke64))
-            return jax.lax.map(lambda t: vd(t[0], t[1]), (ms, rs))
+        def gdensify(meta_g, main_part):
+            return densify_split_jax(meta_g, main_part, geom64, GW, keg)
 
         @functools.partial(jax.jit, donate_argnums=0)
-        def vscan64_stage(carry, metas, dense):
+        def gscan_stage(carry, meta_g, dense):
+            xs = unpack_blob_meta(meta_g, geom64, GW, kmg, keg)
+            xs["coeffs"] = dense.reshape(GW, mb64, 6, 64)
             cs = tuple(c.reshape(CH, S64 // CH, -1) for c in carry)
-            bs = metas.reshape(CH, S64 // CH, -1)
+            xs = {k: v.reshape((CH, S64 // CH, W64) + v.shape[1:])
+                  for k, v in xs.items()}
 
             def chunk(args):
-                c0, c1, c2, b, d = args
-                (d0, d1, d2), disps = jax.vmap(scan64)((c0, c1, c2), b, d)
+                c0, c1, c2, x = args
+                (d0, d1, d2), disps = jax.vmap(scan_g)((c0, c1, c2), x)
                 return (d0, d1, d2, disps)
 
             d0, d1, d2, disps = jax.lax.map(
-                chunk, (cs[0], cs[1], cs[2], bs, dense))
+                chunk, (cs[0], cs[1], cs[2], xs))
             return (tuple(d.reshape(S64, -1) for d in (d0, d1, d2)),
                     disps.reshape(S64, W64, -1))
 
+        def put64(filled):
+            meta_g, main_g, nm = filled
+            kt = min(pool_bucket(max(nm, 1), 4096), kmg)
+            dev = (jax.device_put(meta_g),
+                   jax.device_put(main_g[:4 * kt]))
+            jax.block_until_ready(dev)
+            return dev, meta_g.nbytes + 4 * kt
+
         def vscan64(carry, dev):
-            metas, mains = dev
-            return vscan64_stage(carry, metas, vdensify64(metas, mains))
+            meta_d, main_d = dev
+            return gscan_stage(carry, meta_d, gdensify(meta_d, main_d))
+
         carry64 = tuple(jnp.zeros((S64, geom64.total_size), jnp.uint8)
                         for _ in range(3))
         # Warm both ring slots first: 64 fresh parsers fault in ~25 MB
-        # of plan arrays each, and each 58 MB ring slot page-faults on
-        # first touch — cold starts, not parse rate.
+        # of plan arrays each, and the global slots page-fault on first
+        # touch — cold starts, not parse rate.
         for _ in range(2):
-            ring64.release(fill64(streams64)[1])
+            ring64.put(fill64(streams64)[1])
         # Parse budget: median of 3 rounds (round 3 reported a single
         # round and under-reported by ~2x under host noise).
         p64 = []
         blob64 = slot64 = None
         for _ in range(3):
             if slot64 is not None:
-                ring64.release(slot64)
+                ring64.put(slot64)
             t0 = time.time()
             blob64, slot64 = fill64(streams64)
             p64.append(time.time() - t0)
         parse64_dt = statistics.median(p64)
-        meta64, main64, kt64 = blob64
-        main64c = np.ascontiguousarray(main64[:, :4 * kt64])
-        b64_nbytes = meta64.nbytes + main64c.nbytes
-        dev64 = (jax.device_put(meta64), jax.device_put(main64c))
-        jax.block_until_ready(dev64)
-        ring64.release(slot64)
+        dev64, b64_nbytes = put64(blob64)
+        ring64.put(slot64)
         t0 = time.time()
         carry64, disps = vscan64(carry64, dev64)
         jax.block_until_ready(disps)
@@ -888,8 +940,8 @@ def main():
         log(f"64-STREAM 1080p (window {W64}): device-resident "
             f"{f64 / dt:.0f} fps/chip ({f64 / dt / S64:.1f} fps/stream); "
             f"1-core parse feeds {S64 * W64 / parse64_dt:.0f} fps "
-            f"(median of 3 rounds; {b64_nbytes / 1e6:.0f} MB/round "
-            f"h2d after the prefix cut)")
+            f"(median of 3 rounds; {b64_nbytes / 1e6:.0f} MB/round h2d "
+            f"on the global record chain)")
 
         # True overlapped e2e on the north-star config: parse thread ||
         # h2d+dispatch, exactly like the headline pipeline (VERDICT r3
@@ -908,24 +960,22 @@ def main():
         moved = 0
         for _ in range(E64):
             t = time.perf_counter()
-            (meta, mainb, kt), slot = q64.get()
+            filled, slot = q64.get()
             wait_s += time.perf_counter() - t
             t = time.perf_counter()
-            mainc = np.ascontiguousarray(mainb[:, :4 * kt])
-            dev = (jax.device_put(meta), jax.device_put(mainc))
-            jax.block_until_ready(dev)
+            dev, nbytes = put64(filled)
             h2d_s += time.perf_counter() - t
-            moved += meta.nbytes + mainc.nbytes
-            ring64.release(slot)
+            moved += nbytes
+            ring64.put(slot)
             carry64, disps = vscan64(carry64, dev)
         jax.block_until_ready(disps)
         dt = time.time() - t0
         th.join()
         # Attribution: on the tunneled link this leg is h2d-bound, on
         # real PCIe it is parse-bound; the split makes the driver
-        # artifact say which.  The prefix cut ships only the filled
-        # record buckets (~3x fewer bytes than the full window-2 layout
-        # on GOP content).
+        # artifact say which.  The global chain ships only the summed
+        # record fill (~3.5x fewer bytes than the per-stream window-2
+        # layouts of rounds 3-4).
         log(f"64-STREAM e2e (parse || h2d+dispatch): "
             f"{S64 * W64 * E64} frames in {dt:.1f}s -> "
             f"{S64 * W64 * E64 / dt:.0f} fps/chip "
