@@ -8,5 +8,7 @@ batch on a leading axis, and the stream axis shards over a device mesh.
 
 from .batch import BatchVideoDecoder, make_scan_decoder
 from .audio_batch import BatchAudioDecoder
+from .multistream import MultiStreamVideoDecoder
 
-__all__ = ["BatchVideoDecoder", "BatchAudioDecoder", "make_scan_decoder"]
+__all__ = ["BatchVideoDecoder", "BatchAudioDecoder",
+           "MultiStreamVideoDecoder", "make_scan_decoder"]
