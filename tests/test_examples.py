@@ -28,6 +28,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.mark.parametrize("name", [
     "batch_decode.py", "av_serving.py", "play.py",
     "multistream_mesh.py", "clip_serving.py", "pipe_streaming.py",
+    "multistream_serving.py",
 ])
 def test_example_runs(name, tmp_path):
     env = os.environ.copy()
