@@ -100,9 +100,10 @@ def make_global_scan_decoder(geom: FrameGeometry, n_streams: int,
 class _Slot:
     """One recycled host buffer pair + its pad high-water marks."""
 
-    __slots__ = ("meta", "main", "views", "types", "hwm", "gate")
+    __slots__ = ("meta", "main", "views", "types", "hwm", "gate", "evt")
 
     def __init__(self, geom, gw, kmg, keg):
+        import threading
         self.meta = np.empty(blob_split(geom, gw, kmg, keg), np.uint8)
         self.main = np.empty(4 * kmg, np.uint8)
         self.views = split_views(self.meta, self.main, geom, gw, kmg, keg)
@@ -110,6 +111,13 @@ class _Slot:
         self.hwm = (kmg, keg)   # fresh: pad the full capacity once
         self.gate = None        # scan-output slice of the round that
                                 # consumed this slot (device read proof)
+        # Hand-back event: cleared when the filler hands the slot to the
+        # consumer, set by the consumer AFTER it assigned the gate (or
+        # decided not to dispatch).  Without it, a prefetching filler
+        # could observe gate=None while the consumer is still
+        # dispatching and refill under a lazy device read.
+        self.evt = threading.Event()
+        self.evt.set()
 
 
 class MultiStreamVideoDecoder:
@@ -128,7 +136,8 @@ class MultiStreamVideoDecoder:
 
     def __init__(self, sources: List[bytes], window: int = 2,
                  chunks: int = None, pool_buckets: tuple = None,
-                 emit_rgba: bool = False, recon: str = "auto"):
+                 emit_rgba: bool = False, recon: str = "auto",
+                 prefetch: bool = False):
         from .. import native as native_mod
 
         if not native_mod.available():
@@ -178,11 +187,25 @@ class MultiStreamVideoDecoder:
         self._has_ref = [False] * self.n
         self._last_type = [0] * self.n
         self._flushed = [False] * self.n
+        # prefetch: parse the next global window on a background thread
+        # while the device consumes the current one (same discipline as
+        # BatchVideoDecoder: the double-buffered slots already gate
+        # reuse on the consuming round's output, so the producer can
+        # run exactly one window ahead).
+        self._prefetch = prefetch
+        self._pf_queue = None
+        self._pf_thread = None
+        self._pf_stop = None
+        self._closed = False
 
     # -- host fill -----------------------------------------------------------
 
     def _fill(self):
-        """Parse one global window; returns (slot, types [S, W], nm).
+        """Parse one global window; returns (slot, types [S, W], nm,
+        caps) — caps pins the (kmg, keg) layout the window was packed
+        with, so a prefetching consumer compiles against the right
+        shapes even if a LATER window has already grown the sticky
+        buckets.
         Pool growth mid-window copies the partially-filled buffers into
         the grown layout and RESUMES (the parsers have consumed those
         pictures; only the pending picture is re-emitted)."""
@@ -194,11 +217,17 @@ class MultiStreamVideoDecoder:
                            for _ in range(2)]
             self._slot_i = 0
         slot = self._slots[self._slot_i]
+        # Reuse barrier, two parts: wait until the consumer HANDED the
+        # slot back (evt — assigned the gate or skipped the dispatch),
+        # then block on the gate itself (a 1-element slice of the scan
+        # output that consumed the slot: the device must have fully
+        # read these buffers before the parser overwrites them — the
+        # input array's own readiness is not a safe barrier on the CPU
+        # backend).
+        while not slot.evt.wait(timeout=0.5):
+            if self._closed:
+                raise RuntimeError("decoder closed")
         if slot.gate is not None:
-            # The device must have fully read this buffer before the
-            # parser overwrites it: block on a 1-element slice of the
-            # scan output that consumed it (the input array's own
-            # readiness is not a safe barrier on the CPU backend).
             jax.block_until_ready(slot.gate)
             slot.gate = None
         v = slot.views
@@ -228,6 +257,9 @@ class MultiStreamVideoDecoder:
                 old_types = slot.types
                 old_v = v
                 for other in self._slots:
+                    while not other.evt.wait(timeout=0.5):
+                        if self._closed:
+                            raise RuntimeError("decoder closed")
                     if other.gate is not None:
                         jax.block_until_ready(other.gate)
                 self._slots = [_Slot(self.geom, gw, self._kmg, self._keg)
@@ -251,13 +283,18 @@ class MultiStreamVideoDecoder:
             v["esc_val"][ne:hwm_e] = 0
         slot.hwm = (nm, ne)
         self._slot_i = (self._slot_i + 1) % len(self._slots)
-        return slot, slot.types.reshape(self.n, self.window), nm
+        slot.evt.clear()   # handed out; the consumer sets it back after
+                           # assigning the gate (or skipping dispatch)
+        # types is COPIED out: the consumer reads it on the host after
+        # it hands the slot back, at which point a prefetch producer
+        # may already be refilling the slot's buffers.
+        return (slot, slot.types.reshape(self.n, self.window).copy(), nm,
+                (self._kmg, self._keg))
 
     # -- device round --------------------------------------------------------
 
-    def _ensure_device(self):
+    def _ensure_device(self, caps):
         import jax.numpy as jnp
-        caps = (self._kmg, self._keg)
         if self._decode is None or self._caps != caps:
             self._decode = make_global_scan_decoder(
                 self.geom, self.n, self.window, caps[0], caps[1],
@@ -268,13 +305,88 @@ class MultiStreamVideoDecoder:
                 jnp.zeros((self.n, self.geom.total_size), jnp.uint8)
                 for _ in range(3))
 
+    def _next_filled(self):
+        """The next parsed global window — prefetched or inline."""
+        if not self._prefetch:
+            return self._fill()
+        import queue
+        import threading
+        import weakref
+        if self._pf_thread is None:
+            self._pf_queue = q = queue.Queue(maxsize=1)
+            self._pf_stop = stop = []
+            wr = weakref.ref(self)
+
+            def producer():
+                while True:
+                    dec = wr()
+                    if dec is None or stop:
+                        return
+                    try:
+                        item = dec._fill()
+                    except BaseException as e:   # noqa: BLE001
+                        del dec
+                        while not (stop or wr() is None):
+                            try:
+                                q.put(e, timeout=0.5)
+                                break
+                            except queue.Full:
+                                pass
+                        return
+                    done = not item[1].any()
+                    del dec
+                    while True:
+                        if stop or wr() is None:
+                            return
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            pass
+                    if done:   # every stream dry: stop after the flush
+                        return
+
+            self._pf_thread = threading.Thread(target=producer,
+                                               daemon=True)
+            self._pf_thread.start()
+        item = self._pf_queue.get()
+        if isinstance(item, BaseException):
+            self._pf_thread = None
+            self._closed = True
+            raise item
+        if not item[1].any() and self._pf_thread is not None:
+            self._pf_thread.join()
+            self._pf_thread = None
+            self._prefetch = False   # flush/polling continues inline
+        return item
+
+    def close(self) -> None:
+        """Stop the prefetch thread (early exits); further
+        decode_window() calls return None (the producer may have parsed
+        one window ahead — resuming would skip frames)."""
+        if self._pf_thread is not None:
+            self._pf_stop.append(True)
+            self._closed = True   # unsticks evt.wait loops
+            import queue
+            while self._pf_thread.is_alive():
+                try:
+                    self._pf_queue.get_nowait()
+                except queue.Empty:
+                    pass
+                self._pf_thread.join(timeout=0.1)
+            self._pf_thread = None
+        self._prefetch = False
+
     def decode_window(self) -> Optional[list]:
         """One lockstep round; None when every stream is exhausted."""
         import jax
 
-        slot, types, nm = self._fill()
-        self._ensure_device()
+        if self._closed:
+            return None
+        slot, types, nm, caps = self._next_filled()
+        self._ensure_device(caps)
         if not types.any():
+            slot.evt.set()   # nothing dispatched; slot reusable as-is
             # All streams dry this round: flush pending reference frames.
             out = [[] for _ in range(self.n)]
             any_flush = False
@@ -291,7 +403,7 @@ class MultiStreamVideoDecoder:
             return out if any_flush else None
 
         # At least one stream produced pictures this round.
-        kt = min(pool_bucket(max(nm, 1), _MIN_KM), self._kmg)
+        kt = min(pool_bucket(max(nm, 1), _MIN_KM), caps[0])
         self._carry, disps = self._decode(
             self._carry, slot.meta, slot.main[:4 * kt])
         # Recycling gate: a 1-element derived slice of this round's
@@ -299,6 +411,7 @@ class MultiStreamVideoDecoder:
         # does not pin whole frames).
         leaf = jax.tree_util.tree_leaves(disps)[0]
         slot.gate = leaf[(0,) * (leaf.ndim - 1) + (slice(0, 1),)]
+        slot.evt.set()   # gate assigned: the filler may queue behind it
 
         out = []
         for s in range(self.n):

@@ -53,3 +53,20 @@ def test_multistream_chunked_device_map(mpeg1video_path):
         assert len(got[s]) == len(want[s]) == 260
         for i, (a, b) in enumerate(zip(got[s], want[s])):
             assert (np.asarray(a) == np.asarray(b)).all(), (s, i)
+
+
+def test_multistream_prefetch_parity(mpeg1video_path, mpg_path):
+    """prefetch=True (background global-window parse, one window ahead)
+    must reproduce the inline decode exactly — including growth from
+    minimum buckets under the producer thread and per-stream flushes."""
+    es = open(mpeg1video_path, "rb").read()
+    ps = open(mpg_path, "rb").read()
+    sources = [es, ps, es[:len(es) // 2]]
+
+    want = MultiStreamVideoDecoder(sources, window=4).decode_all()
+    got = MultiStreamVideoDecoder(sources, window=4,
+                                  prefetch=True).decode_all()
+    for s in range(len(sources)):
+        assert len(got[s]) == len(want[s]) > 0, f"stream {s}"
+        for i, (a, b) in enumerate(zip(got[s], want[s])):
+            assert (np.asarray(a) == np.asarray(b)).all(), (s, i)
