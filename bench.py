@@ -424,7 +424,6 @@ def main():
 
     streams = [Stream(data) for _ in range(STREAMS)]
     fill, ring = make_window_filler(geom, WINDOW, km, ke, STREAMS)
-    xfer_bytes = [0]   # h2d bytes actually shipped (prefix transfers)
 
     def transfer(filled, ring=ring):
         """h2d one filled window — the fixed meta+esc stack plus the
@@ -437,7 +436,6 @@ def main():
         dev_main = jax.device_put(
             np.ascontiguousarray(mainb[:, :4 * kt]))
         jax.block_until_ready((dev_meta, dev_main))
-        xfer_bytes[0] += meta.nbytes + mainb.shape[0] * 4 * kt
         ring.release(slot)
         return dev_meta, dev_main
 
@@ -607,6 +605,7 @@ def main():
     dev_fps = frames / (time.time() - t0)
 
     bound = min(parse_fps, xfer_fps)
+    # pre_nbytes: the prefix-cut h2d payload of one window round
     if fps <= 1.2 * bound:
         eff = (f"e2e efficiency {fps / bound:.0%} of bound "
                f"(best pass {e2e[-1] / bound:.0%})")
@@ -617,7 +616,8 @@ def main():
     log("per-stage budget (fps): "
         f"parse {parse_fps:.0f} | h2d {h2d_fps:.0f} ({h2d_mbs:.0f} MB/s) | "
         f"h2d+device {xfer_fps:.0f} | device {dev_fps:.0f} | "
-        f"pipeline bound ~{bound:.0f} | " + eff)
+        f"pipeline bound ~{bound:.0f} | "
+        f"{pre_nbytes / 1e6:.1f} MB/round shipped | " + eff)
 
     # Kernel microbenches ---------------------------------------------------
     # (a) per-MC-mode reconstruct (mirrors the reference's

@@ -252,12 +252,11 @@ def _window_records(plans, mb: int, records=None):
             (cat(ei_l, np.int64), cat(ev_l, np.int32)))
 
 
-def count_pool_records(plans, geom: FrameGeometry = None) -> tuple[int, int]:
+def count_pool_records(plans) -> tuple[int, int]:
     """Exact (main, escape) encoded record counts — including hop
-    records — for a window of plans packed by pack_plans_blob.  `geom`
-    defaults to the first plan's implied mb count being irrelevant:
-    hops depend only on index gaps, which the per-picture bases fix,
-    so mb is taken from the plans themselves."""
+    records — for a window of plans packed by pack_plans_blob.  The
+    macroblock count (which fixes the per-picture index bases and so
+    the hop records) comes from the plans themselves."""
     if not plans:
         return 0, 0
     mb = plans[0][0].mv_h.shape[0]

@@ -167,9 +167,18 @@ class MultiStreamVideoDecoder:
                 raise ValueError("all sources must share one geometry "
                                  "(one compiled program per geometry)")
         if chunks is None:
-            chunks = max(1, -(-self.n // 32))
-        while self.n % chunks:
-            chunks += 1   # lax.map needs equal chunks
+            # Smallest divisor of n whose chunks hold <= ~32 streams;
+            # awkward counts (primes > 32) fall back to ONE wide chunk
+            # — a single vmap over all streams beats n serial chunks of
+            # one stream, which is what divisor-hunting would pick.
+            ok = [c for c in range(1, self.n + 1)
+                  if self.n % c == 0 and self.n // c <= 32]
+            chunks = min(ok)
+            if chunks > 1 and self.n // chunks < 8:
+                chunks = 1
+        else:
+            while self.n % chunks:
+                chunks += 1   # lax.map needs equal chunks
         self.chunks = chunks
         gw = self.n * window
         assert gw * self.geom.mb_size * 6 * 64 < 2 ** 31, \
@@ -364,9 +373,9 @@ class MultiStreamVideoDecoder:
         """Stop the prefetch thread (early exits); further
         decode_window() calls return None (the producer may have parsed
         one window ahead — resuming would skip frames)."""
+        self._closed = True   # also unsticks evt.wait loops
         if self._pf_thread is not None:
             self._pf_stop.append(True)
-            self._closed = True   # unsticks evt.wait loops
             import queue
             while self._pf_thread.is_alive():
                 try:

@@ -614,13 +614,22 @@ class Video:
             # BatchVideoDecoder's).
             from .parallel import batch as B
             item = [(plan, self.picture_type)]
-            nm, ne = B.count_pool_records(item)
+            # Records computed once and threaded through counting AND
+            # packing (each pass is a flatnonzero + divisibility sweep
+            # over the dense plan — doubling it doubled the host pack
+            # cost at 1080p).
+            records = [B.plan_pool_records(plan)]
+            (mi, _), (ei, _) = B._window_records(
+                item, self.geom.mb_size, records)
+            nm = B.delta_encode(mi)[0].size
+            ne = B.delta_encode(ei)[0].size
             self._blob_km = max(self._blob_km,
                                 B.pool_bucket(nm, B._MIN_KM))
             self._blob_ke = max(self._blob_ke,
                                 B.pool_bucket(max(ne, 1), B._MIN_KE))
             blob = B.pack_plans_blob(item, self.geom, 1,
-                                     self._blob_km, self._blob_ke)
+                                     self._blob_km, self._blob_ke,
+                                     records=records)
             run = B.make_picture_blob_recon(self.geom, self._blob_km,
                                             self._blob_ke)
             cur.flat = run(cur.flat, fwd.flat, bwd.flat, blob, fill=nm)
