@@ -516,3 +516,64 @@ def test_blob_recycling_survives_late_pool_growth(mpeg1video_path):
             dec._km = 4096   # force re-growth next window
     assert frames == 260
     assert h.sum64() == GOLDEN_VIDEO_HASH
+
+
+def test_blob_hop_records_roundtrip():
+    """Index gaps over 64K emit HOP records (delta 0xFFFF, value 0) so
+    the uint16 delta chain can span them — no real fixture produces one
+    (the 160x120 picture span is under 64K and 1080p/4K content is too
+    dense), so this constructs sparse pictures whose within-picture and
+    cross-picture gaps both exceed 64K and locks blob == dense."""
+    import jax.numpy as jnp
+    from mpeg_tpu.ops.video_recon import FrameGeometry
+    from mpeg_tpu.parallel.batch import (
+        blob_views, delta_encode, make_blob_scan_decoder,
+        make_dense_scan_decoder, pack_plans_blob, pool_bucket, stack_plans,
+    )
+    from mpeg_tpu.tables import PICTURE_TYPE_INTRA, PICTURE_TYPE_PREDICTIVE
+    from mpeg_tpu.video import _PicturePlan
+
+    geom = FrameGeometry.for_size(640, 480)   # pic span 460,800 > 64K
+    mb = geom.mb_size
+    window = 2
+    plans = []
+    rng = np.random.default_rng(9)
+    for t, ptype in enumerate([PICTURE_TYPE_INTRA,
+                               PICTURE_TYPE_PREDICTIVE]):
+        p = _PicturePlan(mb)
+        # A record near the start and ones far apart: gaps of ~2-6
+        # blocks' worth of 64K units within the picture, plus the
+        # cross-picture jump from pic 0's early-ish last record to
+        # pic 1's records.
+        spots = [(0, 0, 0), (mb // 3, 2, 17), (mb - 1, 5, 63)]
+        for m, b, pos in spots:
+            p.coeffs[m, b, pos] = int(rng.integers(2, 60)) * 32
+            p.nblocks[m, b] = pos + 1
+            p.intra_blk[m, b] = 1 if ptype == PICTURE_TYPE_INTRA else 0
+        p.src_sel[:] = 0
+        plans.append((p, ptype))
+    # drop pic 1's early record so the cross-picture gap is huge
+    plans[1][0].coeffs[0, 0, 0] = 0
+    plans[1][0].nblocks[0, 0] = 0
+
+    (mi0, _, _, _) = __import__(
+        "mpeg_tpu.parallel.batch", fromlist=["plan_pool_records"]
+    ).plan_pool_records(plans[0][0])
+    assert np.diff(mi0).max() > 0xFFFF   # the construction really gaps
+
+    km, ke = pool_bucket(64, 4096), pool_bucket(1, 64)
+    blob = pack_plans_blob(plans, geom, window, km, ke)
+    v = blob_views(blob, geom, window, km, ke)
+    rec = v["main_rec"].astype(np.int64)
+    d, val = rec[0::2], rec[1::2]
+    hops = ((d == 0xFFFF) & (val == 0) &
+            (np.arange(km) < np.flatnonzero(val)[-1] + 1))
+    assert hops.sum() >= 8, "construction must exercise hop records"
+
+    import jax.numpy as jnp
+    carry = tuple(jnp.zeros(geom.total_size, jnp.uint8) for _ in range(3))
+    _, want = make_dense_scan_decoder(geom)(
+        carry, stack_plans(plans, geom, window))
+    carry = tuple(jnp.zeros(geom.total_size, jnp.uint8) for _ in range(3))
+    _, got = make_blob_scan_decoder(geom, window, km, ke)(carry, blob)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -461,3 +461,45 @@ def test_native_audio_matches_python_on_junk(i, mp2_path):
         assert np.array_equal(a, b), f"frame {n} samples differ (variant {i})"
         n += 1
     assert n > 0
+
+
+def test_native_emit_hops_match_python(mpeg1video_path):
+    """The C++ emitter's hop loop (gaps over 64K in the uint16 delta
+    chain) never fires on the fixtures — the 160x120 picture span is
+    under 64K — so force it through the emit ABI: emit one real picture
+    at a large idx_base with a fresh chain (prev 0), where the boundary
+    gap alone requires hops, and require byte-for-byte agreement with
+    the Python delta encoder over the same records."""
+    from mpeg_tpu.parallel.batch import delta_encode, plan_pool_records
+
+    data = open(mpeg1video_path, "rb").read()
+    p = native.NativeVideoParser(data)
+    geom = p.geom()
+    mb = geom.mb_size
+    span = mb * 6 * 64
+    base = 7 * span              # gap ~215K from prev=0: >= 3 hops
+    assert p.blob_prepare() != 0
+    cm, ce = p.blob_counts()
+    hb = ((base + span) >> 16) + 2
+    rec = np.empty(2 * (cm + hb), np.uint16)
+    ei = np.empty(ce + hb, np.uint16)
+    ev = np.empty(ce + hb, np.int32)
+    meta = (np.zeros(mb, np.int16), np.zeros(mb, np.int16),
+            np.zeros(mb, np.uint16), np.zeros(mb, np.uint8))
+    _flags, nm, ne, _pm, _pe = p.blob_emit(rec, ei, ev, *meta, base,
+                                           prev_m=0, prev_e=0)
+    assert nm > cm, "the base jump must have emitted hop records"
+
+    # Python reference over the same picture's records.
+    oracle = native.NativeVideoParser(data)
+    plan, _t = oracle.parse_next_plan()
+    mi, mv, emi, emv = plan_pool_records(plan)
+    didx, pos = delta_encode(mi + base)
+    vals = np.zeros(didx.size, np.int16)
+    vals[pos] = mv
+    assert didx.size == nm
+    np.testing.assert_array_equal(rec[0:2 * nm:2], didx)
+    np.testing.assert_array_equal(
+        rec.view(np.int16)[1:2 * nm:2], vals)
+    d = rec[0:2 * nm:2].astype(np.int64)
+    assert int(d.sum()) == int(mi[-1]) + base   # chain decodes exactly
