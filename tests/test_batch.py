@@ -577,3 +577,36 @@ def test_blob_hop_records_roundtrip():
     carry = tuple(jnp.zeros(geom.total_size, jnp.uint8) for _ in range(3))
     _, got = make_blob_scan_decoder(geom, window, km, ke)(carry, blob)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_blob_malformed_chain_clamps():
+    """A malformed blob whose delta chain runs past the window's dense
+    span must not corrupt memory or scatter out of range: the densify
+    clamps decoded indices to the last dense slot (monotonicity — and
+    so the sorted-scatter promise — is preserved by the clamp)."""
+    import jax
+    import jax.numpy as jnp
+    from mpeg_tpu.ops.video_recon import FrameGeometry
+    from mpeg_tpu.parallel.batch import (
+        blob_layout, blob_views, densify_blob_jax,
+    )
+
+    geom = FrameGeometry.for_size(64, 48)
+    window, km, ke = 2, 4096, 64
+    _, total = blob_layout(geom, window, km, ke)
+    blob = np.zeros(total, np.uint8)
+    v = blob_views(blob, geom, window, km, ke)
+    rec = v["main_rec"]
+    rec[0::2] = 0xFFFF                      # chain overshoots the span
+    rec.view(np.int16)[1::2] = 3            # nonzero values throughout
+    v["esc_didx"][:] = 0xFFFF
+    v["esc_val"][:] = 7
+
+    n = window * geom.mb_size * 6 * 64
+    dense = np.asarray(jax.jit(
+        lambda b: densify_blob_jax(b, geom, window, km, ke))(blob))
+    assert dense.shape == (n,)
+    # Everything past the span piles onto the clamped last slot; the
+    # rest of the tensor holds only the in-range contributions.
+    assert dense[-1] != 0
+    assert np.isfinite(dense).all()
